@@ -1,0 +1,188 @@
+"""Group-wise affine weight quantization (HQQ core, TPU-native).
+
+Re-expresses the reference HQQ quantizer (hqq/core/quantize.py:75-199) and
+its proximal zero-point solver (hqq/core/optimize.py:208-255) as pure jnp
+functions over pytrees.  Numerics follow the reference:
+
+* groups of ``group_size`` consecutive in-features per out-row (axis=1),
+* inverse-scale formulation ``q = round(W * scale + zero)`` with
+  ``scale = (2^b - 1) / (max - min)``, small-denominator guard at 1e-4,
+  scale clamp at 2e4, ``zero = -min * scale`` (quantize.py:120-135),
+* optional zero rounding (the reference's BaseQuantizeConfig sets
+  ``round_zero=True`` iff nbits==4, quantize.py:1097),
+* proximal solver: 20 iterations of round/clamp -> lp-shrink (p=0.7,
+  beta=10, kappa=1.01) -> zero update, early-stopped on the first
+  non-improvement of mean |W - dequant| (optimize.py:208-255),
+* stored meta inverts the scale so dequant is ``(q - zero) * scale``.
+
+Differences from the reference (deliberate, TPU-first):
+
+* everything runs in float32 (the reference drops to fp16 on CUDA),
+* packed codes use the layout of :mod:`amq_tpu.core.bitpack` — transposed
+  ``[K, N]``, group-aligned planar uint32 words — not torch uint8/int32
+  strided packing,
+* scale/zero are stored as ``[K/g, N]`` (transposed) so a fused
+  dequant-matmul kernel reads them in the same orientation as the packed
+  codes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import bitpack
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedTensor:
+    """A group-quantized linear weight in TPU-native packed form.
+
+    ``dequant(qt) @ x`` computes the same linear map as ``W @ x`` for the
+    original ``[out, in]`` weight; internally everything is stored
+    transposed (``kn`` layout) so the forward is ``x @ Wt``.
+    """
+
+    packed: jnp.ndarray   # uint32 [K * nbits / 32, N]
+    scale: jnp.ndarray    # [K / g, N]  (dequant scale, i.e. inverted)
+    zero: jnp.ndarray     # [K / g, N]
+    nbits: int = dataclasses.field(metadata=dict(static=True))
+    group_size: int = dataclasses.field(metadata=dict(static=True))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))  # (out, in)
+
+    @property
+    def out_features(self) -> int:
+        return self.shape[0]
+
+    @property
+    def in_features(self) -> int:
+        return self.shape[1]
+
+
+def _shrink_lp(x: jnp.ndarray, beta: float, lp_norm: float) -> jnp.ndarray:
+    """lp shrinkage operator (optimize.py:96-108)."""
+    a = jnp.abs(x)
+    if lp_norm == 1:
+        out = jnp.maximum(a - 1.0 / beta, 0.0)
+    else:
+        out = jnp.maximum(a - (1.0 / beta) * a ** (lp_norm - 1), 0.0)
+    return out * jnp.sign(x)
+
+
+def optimize_zero_proximal(
+    Wg: jnp.ndarray,
+    scale: jnp.ndarray,
+    zero: jnp.ndarray,
+    max_v: float,
+    lp_norm: float = 0.7,
+    beta: float = 10.0,
+    kappa: float = 1.01,
+    iters: int = 20,
+):
+    """Proximal zero-point refinement on grouped weights ``[n_groups, g]``.
+
+    Mirrors ``optimize_weights_proximal_legacy`` (optimize.py:208-255): each
+    step rounds/clamps, shrinks the residual, and re-estimates the zero
+    point; stops early (by masking further updates) once the mean absolute
+    reconstruction error stops improving.  ``scale`` here is the *forward*
+    scale (multiplied, not divided).
+    """
+
+    def step(carry, beta_i):
+        zero_c, best_zero, best_err, done = carry
+        W_q = jnp.clip(jnp.round(Wg * scale + zero_c), 0.0, max_v)
+        W_r = (W_q - zero_c) / scale
+        err = jnp.mean(jnp.abs(Wg - W_r))
+        improved = err < best_err
+        take = jnp.logical_and(improved, jnp.logical_not(done))
+        best_zero = jnp.where(take, zero_c, best_zero)
+        best_err = jnp.where(take, err, best_err)
+        done = jnp.logical_or(done, jnp.logical_not(improved))
+        W_e = _shrink_lp(Wg - W_r, beta_i, lp_norm)
+        zero_n = jnp.mean(W_q - (Wg - W_e) * scale, axis=1, keepdims=True)
+        zero_c = jnp.where(done, zero_c, zero_n)
+        return (zero_c, best_zero, best_err, done), None
+
+    betas = beta * kappa ** jnp.arange(iters, dtype=Wg.dtype)
+    init = (zero, zero, jnp.array(jnp.inf, Wg.dtype), jnp.array(False))
+    (_, best_zero, _, _), _ = jax.lax.scan(step, init, betas)
+    return best_zero
+
+
+@partial(jax.jit, static_argnames=("nbits", "group_size", "optimize", "round_zero", "compute_dtype"))
+def quantize(
+    W: jnp.ndarray,
+    nbits: int = 4,
+    group_size: int = 128,
+    optimize: bool = True,
+    round_zero: Optional[bool] = None,
+    compute_dtype=jnp.float32,
+) -> QuantizedTensor:
+    """HQQ-quantize an ``[out, in]`` weight into a :class:`QuantizedTensor`.
+
+    ``round_zero`` defaults to ``nbits == 4`` as in the reference config
+    factory (hqq/core/quantize.py:1097).
+    """
+    assert nbits in bitpack.SUPPORTED_BITS, nbits
+    out_f, in_f = W.shape
+    # the transposed packed layout requires groups not to straddle rows
+    assert in_f % group_size == 0, (W.shape, group_size)
+    if round_zero is None:
+        round_zero = nbits == 4
+
+    Wf = W.astype(jnp.float32)
+    Wg = Wf.reshape(-1, group_size)  # groups = consecutive in-features per row
+    _min = Wg.min(axis=1, keepdims=True)
+    _max = Wg.max(axis=1, keepdims=True)
+    max_v = float(round(2**nbits - 1))
+
+    denom = _max - _min
+    scale = max_v / denom
+    scale = jnp.where(jnp.abs(denom) <= 1e-4, jnp.ones_like(scale), scale)
+    scale = jnp.clip(scale, None, 2e4)
+    zero = -_min * scale
+    if round_zero:
+        zero = jnp.round(zero)
+
+    if optimize:
+        zero = optimize_zero_proximal(Wg, scale, zero, max_v)
+
+    W_q = jnp.clip(jnp.round(Wg * scale + zero), 0.0, max_v)
+
+    # store per [out, in/g] then transpose to the kernel's [in/g, out]
+    n_groups_per_row = in_f // group_size
+    scale_t = (1.0 / scale).reshape(out_f, n_groups_per_row).T.astype(compute_dtype)
+    zero_t = zero.reshape(out_f, n_groups_per_row).T.astype(compute_dtype)
+
+    codes_kn = W_q.reshape(out_f, in_f).T.astype(jnp.uint32)  # [K, N]
+    packed = bitpack.pack(codes_kn, nbits, group_size)
+
+    return QuantizedTensor(
+        packed=packed,
+        scale=scale_t,
+        zero=zero_t,
+        nbits=nbits,
+        group_size=group_size,
+        shape=(out_f, in_f),
+    )
+
+
+def dequantize_kn(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
+    """Dequantize to the transposed ``[in, out]`` layout (kernel orientation)."""
+    codes = bitpack.unpack(qt.packed, qt.nbits, qt.group_size)  # [K, N]
+    K, N = codes.shape
+    g = qt.group_size
+    c = codes.reshape(K // g, g, N).astype(dtype)
+    scale = qt.scale.reshape(K // g, 1, N).astype(dtype)
+    zero = qt.zero.reshape(K // g, 1, N).astype(dtype)
+    return ((c - zero) * scale).reshape(K, N)
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
+    """Dequantize back to the original ``[out, in]`` weight."""
+    return dequantize_kn(qt, dtype).T.reshape(qt.shape)

@@ -1,0 +1,65 @@
+"""Quantize -> dequantize round-trip properties (cf. hqq tests/test_quantize.py)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from amq_tpu.core import quantize as q
+
+
+@pytest.mark.parametrize("nbits", [2, 3, 4, 8])
+def test_roundtrip_error_bounded(nbits):
+    rng = np.random.default_rng(0)
+    W = rng.normal(size=(256, 512)).astype(np.float32)
+    qt = q.quantize(jnp.asarray(W), nbits=nbits, group_size=128)
+    W_r = np.asarray(q.dequantize(qt))
+    assert W_r.shape == W.shape
+    err = np.abs(W - W_r).mean()
+    # group range ~ 5 sigma / (2^b - 1); allow 1.5x of half-step average
+    step = 5.0 / (2**nbits - 1)
+    assert err < step, (nbits, err, step)
+
+
+def test_monotone_in_bits():
+    rng = np.random.default_rng(1)
+    W = jnp.asarray(rng.normal(size=(128, 256)).astype(np.float32))
+    errs = []
+    for nbits in (2, 3, 4, 8):
+        W_r = q.dequantize(q.quantize(W, nbits=nbits))
+        errs.append(float(jnp.mean(jnp.abs(W - W_r))))
+    assert errs == sorted(errs, reverse=True), errs
+
+
+def test_proximal_improves_over_plain_minmax():
+    rng = np.random.default_rng(2)
+    # heavy-tailed weights: where the proximal zero-point solver matters
+    W = jnp.asarray((rng.standard_t(3, size=(128, 512)) * 0.05).astype(np.float32))
+    err_opt = float(jnp.mean(jnp.abs(W - q.dequantize(q.quantize(W, nbits=3, optimize=True)))))
+    err_raw = float(jnp.mean(jnp.abs(W - q.dequantize(q.quantize(W, nbits=3, optimize=False)))))
+    assert err_opt <= err_raw * 1.001, (err_opt, err_raw)
+
+
+def test_constant_group_no_nan():
+    W = jnp.zeros((128, 256), jnp.float32)
+    W_r = q.dequantize(q.quantize(W, nbits=4))
+    assert bool(jnp.all(jnp.isfinite(W_r)))
+    np.testing.assert_allclose(np.asarray(W_r), 0.0, atol=1e-6)
+
+
+def test_exact_on_lattice():
+    # weights already on the quantization lattice reconstruct exactly
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 16, size=(64, 256)).astype(np.float32)
+    W = jnp.asarray(codes * 0.1 - 0.8)
+    qt = q.quantize(W, nbits=4, optimize=False, round_zero=False)
+    W_r = q.dequantize(qt)
+    np.testing.assert_allclose(np.asarray(W_r), np.asarray(W), atol=1e-4)
+
+
+def test_transposed_layout_consistency():
+    rng = np.random.default_rng(4)
+    W = jnp.asarray(rng.normal(size=(64, 384)).astype(np.float32))
+    qt = q.quantize(W, nbits=4)
+    np.testing.assert_allclose(
+        np.asarray(q.dequantize_kn(qt)), np.asarray(q.dequantize(qt)).T, atol=0
+    )
