@@ -1,0 +1,165 @@
+"""Architecture evaluator: proxy-stitch JSD loss (search) / real-PTQ PPL (final).
+
+Re-design of the reference Evaluator (evaluation/evaluator.py:12-103):
+
+* search mode: dense FP16 logits are cached once (host RAM, fp16) from the
+  dense model; the working model is a ProxySwitch pytree folding the
+  2/3/4-bit HQQ proxies, and ``sample(arch)`` is a selector rewrite —
+  no module surgery, no retrace (cf. setsubattr swapping, evaluator.py:71-81),
+* final mode: ``sample(arch, method)`` runs a real PTQ algorithm
+  (AWQ/GPTQ/OWQ) on the dense params and evaluates perplexity,
+* data parallelism: token batches are sharded over the mesh 'data' axis
+  with NamedSharding (replacing Accelerate process sharding +
+  gather_for_metrics).
+
+The per-batch losses are averaged sample-weighted, which reproduces the
+reference's ``sum(loss_i * B_i) / (len * seqlen)`` accounting at batch
+size 1 (utils/eval.py:40-44).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import config as mconfig
+from ..models import llama, transform
+from . import metrics
+
+
+class Evaluator:
+    def __init__(
+        self,
+        cfg: mconfig.ModelConfig,
+        dense_params: Optional[Dict[str, Any]] = None,
+        proxies: Optional[Sequence[Dict[str, Any]]] = None,
+        bits_range: Sequence[int] = (2, 3, 4),
+        datasets: Optional[Dict[str, np.ndarray]] = None,  # name -> [N, S] tokens
+        group_size: int = 128,
+        batch_size: int = 1,
+        search: bool = True,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        compute_dtype=jnp.float32,
+        quantize_fn: Optional[Callable] = None,  # (params, cfg, arch, method) -> params
+    ):
+        self.cfg = cfg
+        self.topology = cfg.topology()
+        self.bits_range = list(bits_range)
+        self.group_size = group_size
+        self.batch_size = batch_size
+        self.search = search
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self.datasets = datasets or {}
+        self.dense_params = dense_params
+        self.quantize_fn = quantize_fn
+
+        # jitted once; re-used across every arch eval (a fresh jax.jit per
+        # call would retrace each of the ~10k search evaluations)
+        self._fwd = jax.jit(self._forward_logits)
+        self._loss_step = jax.jit(lambda p, t, d: metrics.jsd_shifted(
+            self._forward_logits(p, t), d))
+        self._ppl_step = jax.jit(lambda p, t: metrics.cross_entropy_shifted(
+            self._forward_logits(p, t), t))
+
+        if search:
+            assert dense_params is not None or proxies is not None
+            if proxies is None:
+                proxies = [
+                    transform.quantize_model(dense_params, cfg, b, group_size)
+                    for b in self.bits_range
+                ]
+            self.switch_params = transform.build_switch_model(
+                proxies, self.bits_range)
+            # dense logits cache (host, fp16) — reference caches on device
+            # (evaluator.py:46-52); host keeps HBM for the working model
+            self.dense_logits: Dict[str, np.ndarray] = {}
+            if dense_params is not None:
+                for name, toks in self.datasets.items():
+                    self.dense_logits[name] = self._batched_logits(
+                        dense_params, toks)
+        else:
+            assert dense_params is not None
+            self.model_params = dense_params
+
+    # -- low level ---------------------------------------------------------
+
+    def _forward_logits(self, params, tokens):
+        logits, _ = llama.forward(params, self.cfg, tokens,
+                                  compute_dtype=self.compute_dtype)
+        return logits
+
+    def _shard_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None:
+            return tokens
+        sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec("data", None))
+        return jax.device_put(tokens, sharding)
+
+    def _batches(self, tokens: np.ndarray):
+        B = self.batch_size
+        if self.mesh is not None:
+            B = max(B, self.mesh.devices.size)
+        for i in range(0, tokens.shape[0], B):
+            yield tokens[i:i + B]
+
+    def _batched_logits(self, params, tokens: np.ndarray) -> np.ndarray:
+        outs = []
+        for batch in self._batches(tokens):
+            toks = self._shard_tokens(jnp.asarray(batch))
+            outs.append(np.asarray(self._fwd(params, toks), np.float16))
+        return np.concatenate(outs, axis=0)
+
+    # -- reference API -----------------------------------------------------
+
+    def sample(self, arch: transform.Arch, method: str = "hqq"):
+        if self.search:
+            self.switch_params = transform.set_arch(
+                self.switch_params, arch, self.bits_range)
+            return self.switch_params
+        assert self.quantize_fn is not None, "final mode needs quantize_fn"
+        return self.quantize_fn(self.model_params, self.cfg, arch, method)
+
+    def eval_loss(self, params, tokens: np.ndarray,
+                  dense_logits: np.ndarray) -> float:
+        losses, weights = [], []
+        jitted = self._loss_step
+        i = 0
+        for batch in self._batches(tokens):
+            toks = self._shard_tokens(jnp.asarray(batch))
+            dense = self._shard_tokens(
+                jnp.asarray(dense_logits[i:i + batch.shape[0]], jnp.float32))
+            losses.append(float(jitted(params, toks, dense)))
+            weights.append(batch.shape[0])
+            i += batch.shape[0]
+        return float(np.average(losses, weights=weights))
+
+    def eval_ppl(self, params, tokens: np.ndarray) -> float:
+        losses, weights = [], []
+        jitted = self._ppl_step
+        for batch in self._batches(tokens):
+            toks = self._shard_tokens(jnp.asarray(batch))
+            losses.append(float(jitted(params, toks)))
+            weights.append(batch.shape[0])
+        return float(np.exp(np.average(losses, weights=weights)))
+
+    def eval(self, architecture: transform.Arch,
+             method: str = "hqq") -> tuple[Dict[str, float], float]:
+        """Returns ({dataset: metric}, bits_usage) — evaluator.py:90-103."""
+        metric_list: Dict[str, float] = {}
+        if self.search:
+            params = self.sample(architecture)
+            for name, toks in self.datasets.items():
+                metric_list[name] = self.eval_loss(
+                    params, toks, self.dense_logits[name])
+        else:
+            params = self.sample(architecture, method)
+            for name, toks in self.datasets.items():
+                metric_list[name] = self.eval_ppl(params, toks)
+        bits_usage = metrics.get_bits_usage(
+            architecture, self.topology, self.group_size)
+        return metric_list, bits_usage

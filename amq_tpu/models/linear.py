@@ -1,0 +1,81 @@
+"""Linear-layer application over interchangeable weight representations.
+
+The reference swaps ``nn.Linear``-like modules in and out of a live torch
+model (evaluator.py:71-81 setsubattr; hqq backend patching).  TPU-native,
+a "linear layer" is just a pytree leaf bundle, and *which representation it
+is* decides how the jitted forward applies it:
+
+* dense ``jnp.ndarray`` ``[out, in]`` — plain matmul,
+* :class:`~amq_tpu.core.quantize.QuantizedTensor` — dequantize-then-matmul
+  (XLA path) or the fused Pallas kernel (ops.quant_matmul),
+* :class:`ProxySwitch` — all three per-bit proxy quantizations stacked, with
+  a *traced* integer selector: ``lax.switch`` picks the branch at runtime,
+  so evaluating a new mixed-bit architecture never retraces (the reference
+  re-stitches module references per arch instead, evaluator.py:71-81).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..core.quantize import QuantizedTensor, dequantize_kn
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DenseLinear:
+    weight: jnp.ndarray  # [out, in]
+    bias: Optional[jnp.ndarray] = None
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantLinear:
+    qt: QuantizedTensor
+    bias: Optional[jnp.ndarray] = None
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ProxySwitch:
+    """Per-bit proxy quantizations of one linear + a traced selector index.
+
+    ``select`` indexes into ``proxies`` (ordered by ``bits_range``); it is a
+    scalar int32 array so a whole architecture is just a vector of these —
+    swapping architectures is a new input, not a new program.
+    """
+
+    proxies: Sequence[QuantLinear]
+    select: jnp.ndarray  # scalar int32
+
+
+LinearParams = Union[DenseLinear, QuantLinear, ProxySwitch]
+
+
+def _matmul(x: jnp.ndarray, wt: jnp.ndarray, bias, compute_dtype) -> jnp.ndarray:
+    y = jnp.dot(x.astype(compute_dtype), wt.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(compute_dtype)
+
+
+def apply_linear(p: LinearParams, x: jnp.ndarray,
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+    """``x @ W.T (+ b)`` for any weight representation. x: [..., in]."""
+    if isinstance(p, DenseLinear):
+        return _matmul(x, p.weight.T, p.bias, compute_dtype)
+    if isinstance(p, QuantLinear):
+        wt = dequantize_kn(p.qt, dtype=compute_dtype)  # [in, out]
+        return _matmul(x, wt, p.bias, compute_dtype)
+    if isinstance(p, ProxySwitch):
+        branches = [
+            (lambda q: lambda: apply_linear(q, x, compute_dtype))(q)
+            for q in p.proxies
+        ]
+        return jax.lax.switch(p.select, branches)
+    raise TypeError(f"unsupported linear params: {type(p)}")

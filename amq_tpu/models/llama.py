@@ -1,0 +1,270 @@
+"""Llama-family decoder (Llama-2/3/3.1, Mistral, Qwen2/2.5) in pure JAX.
+
+Functional re-design of the HF torch modeling the reference evaluates
+through (and of its FT-Llama rewrite, monkeypatch/ftllama_modeling.py):
+params are a pytree, the forward is a pure function, the KV cache is an
+explicit carry.  One implementation covers the whole family via
+:class:`~amq_tpu.models.config.ModelConfig` flags (GQA, qkv_bias, sliding
+window, rope scaling).
+
+Two entry styles:
+* ``forward(params, cfg, tokens)`` — teacher-forcing over a full sequence
+  (the evaluation path: JSD loss / perplexity),
+* ``forward(params, cfg, tokens, cache=..., positions=...)`` — incremental
+  prefill/decode against a preallocated ring KV cache (the serving path,
+  replacing FT's ``single_query_attention`` + start_pos threading).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import LINEAR_NAMES, ModelConfig
+from .linear import DenseLinear, LinearParams, apply_linear
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Preallocated per-layer K/V buffers: ``[n_layers, B, max_len, n_kv, hd]``.
+
+    Replaces the reference's persistent interleaved CUDA cache buffers
+    (ftllama_modeling.py:61-68); layout keeps head_dim in lanes and
+    sequence in sublanes, which is what the decode attention wants.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray  # scalar int32: tokens currently valid
+
+    @classmethod
+    def create(cls, cfg: ModelConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim_)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight.astype(x.dtype)
+
+
+def _llama3_scale_freqs(freqs: jnp.ndarray) -> jnp.ndarray:
+    """Llama-3.1 rope frequency rescaling (HF rope_scaling type='llama3')."""
+    factor, low, high, orig = 8.0, 1.0, 4.0, 8192.0
+    wavelen = 2.0 * jnp.pi / freqs
+    low_wl = orig / low
+    high_wl = orig / high
+    smooth = (orig / wavelen - low) / (high - low)
+    scaled = jnp.where(
+        wavelen > low_wl, freqs / factor,
+        jnp.where(wavelen < high_wl, freqs,
+                  (1 - smooth) * freqs / factor + smooth * freqs))
+    return scaled
+
+
+def rope_cos_sin(cfg: ModelConfig, positions: jnp.ndarray,
+                 dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables ``[..., head_dim]`` (HF half-rotation convention)."""
+    hd = cfg.head_dim_
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    if cfg.rope_scaling_llama3:
+        inv_freq = _llama3_scale_freqs(inv_freq)
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [..., hd/2]
+    angles = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, S, H, hd]; cos/sin: [B?, S, hd] -> broadcast over heads."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[..., None, :] if cos.ndim == x.ndim - 1 else cos
+    s = sin[..., None, :] if sin.ndim == x.ndim - 1 else sin
+    return (x * c + rotated * s).astype(x.dtype)
+
+
+def _attention(q, k, v, mask, compute_dtype):
+    """q: [B,S,Hq,hd], k/v: [B,T,Hkv,hd], mask: [B?,1,S,T] additive."""
+    B, S, Hq, hd = q.shape
+    Hkv = k.shape[2]
+    if Hq != Hkv:
+        k = jnp.repeat(k, Hq // Hkv, axis=2)
+        v = jnp.repeat(v, Hq // Hkv, axis=2)
+    scores = jnp.einsum("bshd,bthd->bhst", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(hd)) + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+    out = jnp.einsum("bhst,bthd->bshd", probs, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(compute_dtype)
+
+
+def _causal_mask(S: int, T: int, offset: jnp.ndarray,
+                 sliding_window: Optional[int]) -> jnp.ndarray:
+    """Additive mask [1,1,S,T]; query i attends keys j with j <= i+offset."""
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0) + offset
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
+    ok = k_pos <= q_pos
+    if sliding_window is not None:
+        ok = jnp.logical_and(ok, k_pos > q_pos - sliding_window)
+    return jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[None, None]
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+def decoder_layer(layer: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray,
+                  cos, sin, mask, compute_dtype,
+                  cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                  cache_pos: Optional[jnp.ndarray] = None,
+                  captures: Optional[Dict[str, jnp.ndarray]] = None):
+    """One decoder block.  Returns (x, (k_cache, v_cache) or None).
+
+    If ``captures`` is a dict it is filled with the *input* activations of
+    each linear site — the functional equivalent of the reference's forward
+    hooks used by GPTQ Hessian accumulation (quantization/gptq.py:123-135)
+    and AWQ input-feature caching (awq_utils/pre_quant.py:147-167).
+    """
+    B, S, _ = x.shape
+    hd = cfg.head_dim_
+
+    h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
+    if captures is not None:
+        captures["self_attn.q_proj"] = h
+        captures["self_attn.k_proj"] = h
+        captures["self_attn.v_proj"] = h
+    q = apply_linear(layer["self_attn.q_proj"], h, compute_dtype)
+    k = apply_linear(layer["self_attn.k_proj"], h, compute_dtype)
+    v = apply_linear(layer["self_attn.v_proj"], h, compute_dtype)
+    q = q.reshape(B, S, cfg.num_heads, hd)
+    k = k.reshape(B, S, cfg.num_kv_heads, hd)
+    v = v.reshape(B, S, cfg.num_kv_heads, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_kv = None
+    if cache_kv is not None:
+        k_buf, v_buf = cache_kv  # [B, max_len, n_kv, hd]
+        k_buf = jax.lax.dynamic_update_slice_in_dim(k_buf, k.astype(k_buf.dtype), cache_pos, axis=1)
+        v_buf = jax.lax.dynamic_update_slice_in_dim(v_buf, v.astype(v_buf.dtype), cache_pos, axis=1)
+        new_kv = (k_buf, v_buf)
+        k_att, v_att = k_buf.astype(compute_dtype), v_buf.astype(compute_dtype)
+    else:
+        k_att, v_att = k, v
+
+    att = _attention(q, k_att, v_att, mask, compute_dtype)
+    att = att.reshape(B, S, cfg.num_heads * hd)
+    if captures is not None:
+        captures["self_attn.o_proj"] = att
+    x = x + apply_linear(layer["self_attn.o_proj"], att, compute_dtype)
+
+    h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
+    if captures is not None:
+        captures["mlp.gate_proj"] = h
+        captures["mlp.up_proj"] = h
+    gate = apply_linear(layer["mlp.gate_proj"], h, compute_dtype)
+    up = apply_linear(layer["mlp.up_proj"], h, compute_dtype)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(compute_dtype) * up
+    if captures is not None:
+        captures["mlp.down_proj"] = act
+    x = x + apply_linear(layer["mlp.down_proj"], act, compute_dtype)
+    return x, new_kv
+
+
+def forward(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,                 # [B, S] int32
+    cache: Optional[KVCache] = None,
+    positions: Optional[jnp.ndarray] = None,  # [B, S] or [S]
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Returns (logits [B, S, vocab] float32, updated cache or None)."""
+    B, S = tokens.shape
+    x = params["embed"][tokens].astype(compute_dtype)
+
+    if cache is not None:
+        offset = cache.length
+        T = cache.k.shape[2]
+    else:
+        offset = jnp.int32(0)
+        T = S
+    if positions is None:
+        positions = jnp.arange(S, dtype=jnp.int32)[None, :] + offset
+    cos, sin = rope_cos_sin(cfg, positions, dtype=compute_dtype)
+    mask = _causal_mask(S, T, offset, cfg.sliding_window)
+
+    new_k, new_v = [], []
+    for idx, layer in enumerate(params["layers"]):
+        ck = (cache.k[idx], cache.v[idx]) if cache is not None else None
+        x, kv = decoder_layer(layer, cfg, x, cos, sin, mask, compute_dtype,
+                              cache_kv=ck, cache_pos=offset if cache is not None else None)
+        if kv is not None:
+            new_k.append(kv[0])
+            new_v.append(kv[1])
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is None:  # tied embeddings
+        logits = jnp.dot(x, params["embed"].T.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = apply_linear(head, x, compute_dtype).astype(jnp.float32)
+
+    new_cache = None
+    if cache is not None:
+        new_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
+                            length=cache.length + S)
+    return logits.astype(jnp.float32), new_cache
+
+
+# ---------------------------------------------------------------------------
+# parameter init / conversion
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
+    """Random params (for tests/benches — no-network environment)."""
+    keys = iter(jax.random.split(key, 4 + cfg.num_layers * len(LINEAR_NAMES)))
+    h = cfg.hidden_size
+
+    def dense(shape):
+        fan_in = shape[-1]
+        return (jax.random.normal(next(keys), shape, jnp.float32)
+                * (1.0 / jnp.sqrt(fan_in))).astype(dtype)
+
+    layers: List[Dict[str, Any]] = []
+    for _ in range(cfg.num_layers):
+        layer: Dict[str, Any] = {
+            "input_norm": jnp.ones((h,), dtype),
+            "post_norm": jnp.ones((h,), dtype),
+        }
+        for name in LINEAR_NAMES:
+            out_f, in_f = cfg.linear_shape(name)
+            bias = None
+            if cfg.qkv_bias and name in ("self_attn.q_proj", "self_attn.k_proj",
+                                         "self_attn.v_proj"):
+                bias = jnp.zeros((out_f,), dtype)
+            layer[name] = DenseLinear(weight=dense((out_f, in_f)), bias=bias)
+        layers.append(layer)
+
+    params: Dict[str, Any] = {
+        "embed": dense((cfg.vocab_size, h)),
+        "layers": layers,
+        "final_norm": jnp.ones((h,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = DenseLinear(weight=dense((cfg.vocab_size, h)))
+    return params

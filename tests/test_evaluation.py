@@ -1,0 +1,96 @@
+"""Evaluator behavior: JSD ordering across bit-widths, PPL sanity,
+bits-usage accounting parity, sensitivity table schema, data-parallel mesh
+equivalence."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from amq_tpu.evaluation import Evaluator, get_bits_usage, metrics
+from amq_tpu.evaluation.data import synthetic_tokens
+from amq_tpu.evaluation.sensitivity import linear_sensitivity
+from amq_tpu.models import get_config, init_params
+from amq_tpu.models.config import LINEAR_NAMES
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    toks = synthetic_tokens(cfg.vocab_size, n_sample=4, seqlen=64, seed=0)
+    ev = Evaluator(cfg, dense_params=params, datasets={"synthetic": toks},
+                   batch_size=2)
+    return cfg, params, ev
+
+
+def _uniform(cfg, bits):
+    return {"linear": {l: [bits] * cfg.num_layers for l in LINEAR_NAMES}}
+
+
+def test_loss_monotone_in_bits(setup):
+    cfg, _, ev = setup
+    losses = {}
+    for bits in (2, 3, 4):
+        metric, usage = ev.eval(_uniform(cfg, bits))
+        losses[bits] = metric["synthetic"]
+        assert usage == pytest.approx(bits + 32 / 128)
+    assert losses[4] < losses[3] < losses[2], losses
+    assert losses[4] >= 0
+
+
+def test_bits_usage_matches_reference_formula(setup):
+    cfg, _, ev = setup
+    arch = _uniform(cfg, 4)
+    arch["linear"]["mlp.down_proj"] = [2] * cfg.num_layers
+    usage = get_bits_usage(arch, cfg.topology(), 128)
+    top = cfg.topology()
+    down = top["linear_shape"]["mlp.down_proj"]
+    down_numel = down[0] * down[1] * cfg.num_layers
+    expected = ((top["model_numel"] - down_numel) * (4 + 0.25)
+                + down_numel * (2 + 0.25)) / top["model_numel"]
+    assert usage == pytest.approx(expected)
+
+
+def test_jsd_identity_is_zero():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 32)),
+                         jnp.float32)
+    assert float(metrics.jsd_shifted(logits, logits)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_ppl_final_mode(setup):
+    cfg, params, _ = setup
+    toks = synthetic_tokens(cfg.vocab_size, n_sample=2, seqlen=64, seed=1)
+    ev = Evaluator(cfg, dense_params=params, datasets={"synthetic": toks},
+                   search=False,
+                   quantize_fn=lambda p, c, a, m: p)  # identity "quantizer"
+    metric, _ = ev.eval(_uniform(cfg, 4), method="fp16")
+    ppl = metric["synthetic"]
+    # untrained model: PPL should be in the vicinity of uniform-over-vocab
+    assert 1.0 < ppl < cfg.vocab_size * 8
+
+
+def test_sensitivity_schema():
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    toks = synthetic_tokens(cfg.vocab_size, n_sample=2, seqlen=32, seed=2)
+    ev = Evaluator(cfg, dense_params=params, datasets={"synthetic": toks},
+                   batch_size=2)
+    table = linear_sensitivity(ev, "synthetic")
+    assert len(table["loss"]) == cfg.num_layers * len(LINEAR_NAMES)
+    assert all(v >= 0 for v in table["loss"].values())
+    assert "0.self_attn.q_proj" in table["loss"]
+
+
+def test_mesh_data_parallel_matches_single_device(setup):
+    cfg, params, ev_single = setup
+    toks = synthetic_tokens(cfg.vocab_size, n_sample=8, seqlen=64, seed=0)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    ev_mesh = Evaluator(cfg, dense_params=params,
+                        datasets={"synthetic": toks}, mesh=mesh)
+    ev_ref = Evaluator(cfg, dense_params=params,
+                       datasets={"synthetic": toks}, batch_size=8)
+    arch = _uniform(cfg, 3)
+    m_mesh, _ = ev_mesh.eval(arch)
+    m_ref, _ = ev_ref.eval(arch)
+    assert m_mesh["synthetic"] == pytest.approx(m_ref["synthetic"], rel=1e-4)
