@@ -1,0 +1,89 @@
+"""Shared CLI plumbing (reference utils/args.py:4-160, re-grouped).
+
+Every stage CLI supports ``--synthetic`` (random weights + synthetic
+tokens) so the full pipeline runs in hub-less environments; with a local
+HF checkpoint directory (``--model_path``) the real model is used.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--model_name", type=str, default="tiny-llama",
+                   help="registry name (e.g. Llama-2-7b-hf, Qwen2-0.5B)")
+    p.add_argument("--model_path", type=str, default="",
+                   help="local HF checkpoint dir (optional)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="random weights + synthetic calibration tokens")
+    p.add_argument("--dataset", type=str, default="wikitext2",
+                   choices=["wikitext2", "c4", "synthetic"])
+    p.add_argument("--seqlen", type=int, default=2048)
+    p.add_argument("--n_sample", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--group_size", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--platform", type=str, default="",
+                   help="force jax platform (cpu/tpu)")
+    return p
+
+
+def setup_jax(args):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax_comp"))
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    return jax
+
+
+def load_model(args) -> Tuple[Any, Dict[str, Any]]:
+    """(cfg, dense params) from HF dir or random init."""
+    import jax
+    from ..models import get_config, init_params
+    from ..models.hf import config_from_hf, load_hf_params
+
+    if args.model_path and os.path.isdir(args.model_path):
+        cfg = config_from_hf(args.model_path)
+        params = load_hf_params(args.model_path, cfg)
+        return cfg, params
+    cfg = get_config(args.model_name)
+    if not args.synthetic:
+        raise SystemExit(
+            f"no checkpoint at {args.model_path!r}; pass --synthetic to run "
+            "with random weights")
+    return cfg, init_params(cfg, jax.random.PRNGKey(args.seed))
+
+
+def load_tokens(args, cfg, train: bool = True) -> np.ndarray:
+    from ..evaluation import data as data_mod
+    if args.dataset == "synthetic" or args.synthetic:
+        return data_mod.synthetic_tokens(cfg.vocab_size,
+                                         n_sample=args.n_sample,
+                                         seqlen=args.seqlen, seed=args.seed)
+    tok = None
+    try:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.model_path or args.model_name,
+                                            use_fast=False)
+    except Exception as e:  # pragma: no cover
+        raise SystemExit(f"tokenizer unavailable ({e}); use --synthetic")
+    return data_mod.get_loader(args.dataset, tokenizer=tok,
+                               n_sample=args.n_sample, train=train,
+                               seed=args.seed, seqlen=args.seqlen)
+
+
+def dump_json(obj, path: str):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f)
+    print(f"wrote {path}")

@@ -1,0 +1,74 @@
+"""Stage 5 — mixed-bit serving speed benchmark.
+
+Mirror of amq/amq_speed_benchmark.py:99-293: assemble a mixed-bit model
+from per-bit proxies according to an architecture (or a uniform/cycled
+default), and measure TPS / GEMM / GEMV / TTFT / peak memory.  The
+"stitching" is selector vectors on a stacked scan model; the kernels are
+the fused Pallas dequant-matmuls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .common import base_parser, dump_json, load_model, setup_jax
+
+
+def main(argv=None):
+    p = base_parser(__doc__)
+    p.add_argument("--arch_json", type=str, default="",
+                   help="architecture dict JSON (else cycle 2/3/4)")
+    p.add_argument("--proxy_path", type=str, default="")
+    p.add_argument("--prompt_len", type=int, default=64)
+    p.add_argument("--gen_len", type=int, default=128)
+    p.add_argument("--modes", type=str, nargs="+",
+                   default=["TPS", "GEMV", "GEMM", "TTFT"])
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--save_path", type=str, default="speed_out")
+    args = p.parse_args(argv)
+    jax = setup_jax(args)
+    import jax.numpy as jnp
+
+    from ..models import quantize_model
+    from ..models.config import LINEAR_NAMES
+    from ..models.stacked import stack_proxies
+    from ..serving import Engine
+    from ..serving.benchmark import benchmark_speed, device_peak_gib
+    from ..utils.checkpoint import load_quantized
+
+    cfg, params = load_model(args)
+    bits_range = [2, 3, 4]
+    if args.proxy_path:
+        proxies = [load_quantized(os.path.join(
+            args.proxy_path, f"{cfg.name}_{b}bit_{args.group_size}gs_1axis"))[0]
+            for b in bits_range]
+    else:
+        proxies = [quantize_model(params, cfg, b, group_size=args.group_size)
+                   for b in bits_range]
+
+    if args.arch_json:
+        with open(args.arch_json) as f:
+            arch = json.load(f)
+    else:
+        arch = {"linear": {l: [bits_range[(i + j) % 3]
+                               for i in range(cfg.num_layers)]
+                           for j, l in enumerate(LINEAR_NAMES)}}
+
+    model = stack_proxies(proxies, bits_range, arch)
+    eng = Engine(model, cfg, batch_size=args.batch_size,
+                 max_len=args.prompt_len + args.gen_len + 8,
+                 compute_dtype=jnp.bfloat16, use_pallas=not args.no_pallas)
+
+    results = {}
+    for mode in args.modes:
+        results[mode] = benchmark_speed(eng, mode,
+                                        prompt_len=args.prompt_len,
+                                        gen_len=args.gen_len)
+        print(f"{mode}: {results[mode]}")
+    results["peak_mem_gib"] = device_peak_gib()
+    dump_json(results, f"{args.save_path}/{cfg.name}_speed.json")
+
+
+if __name__ == "__main__":
+    main()

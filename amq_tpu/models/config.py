@@ -166,6 +166,13 @@ register(ModelConfig(
     num_layers=2, num_heads=4, num_kv_heads=2, qkv_bias=True,
     rms_norm_eps=1e-6, tie_word_embeddings=True, max_position_embeddings=512,
 ))
+# dims chosen so tensor-parallel shards stay group-aligned up to tp=4:
+# all row-parallel K shards (512/4, 1024/4) are multiples of group 128
+register(ModelConfig(
+    name="graft-tp", vocab_size=512, hidden_size=512, intermediate_size=1024,
+    num_layers=4, num_heads=8, num_kv_heads=8, head_dim=64,
+    max_position_embeddings=512,
+))
 
 
 def get_config(name: str) -> ModelConfig:

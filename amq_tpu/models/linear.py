@@ -55,6 +55,30 @@ class ProxySwitch:
 
 LinearParams = Union[DenseLinear, QuantLinear, ProxySwitch]
 
+# Optional fused-kernel implementation for QuantLinear application.  The
+# serving engine installs the Pallas dequant-matmul here (trace-time
+# dispatch: the flag is read while tracing, so each jitted program bakes
+# in one path).  None -> XLA dequantize-then-matmul.
+_KERNEL_IMPL = None
+
+
+class kernel_linears:
+    """Context manager routing QuantLinear matmuls through ``impl``."""
+
+    def __init__(self, impl):
+        self.impl = impl
+
+    def __enter__(self):
+        global _KERNEL_IMPL
+        self._old = _KERNEL_IMPL
+        _KERNEL_IMPL = self.impl
+        return self
+
+    def __exit__(self, *exc):
+        global _KERNEL_IMPL
+        _KERNEL_IMPL = self._old
+        return False
+
 
 def _matmul(x: jnp.ndarray, wt: jnp.ndarray, bias, compute_dtype) -> jnp.ndarray:
     y = jnp.dot(x.astype(compute_dtype), wt.astype(compute_dtype),
@@ -70,6 +94,8 @@ def apply_linear(p: LinearParams, x: jnp.ndarray,
     if isinstance(p, DenseLinear):
         return _matmul(x, p.weight.T, p.bias, compute_dtype)
     if isinstance(p, QuantLinear):
+        if _KERNEL_IMPL is not None:
+            return _KERNEL_IMPL(p, x, compute_dtype)
         wt = dequantize_kn(p.qt, dtype=compute_dtype)  # [in, out]
         return _matmul(x, wt, p.bias, compute_dtype)
     if isinstance(p, ProxySwitch):

@@ -131,22 +131,56 @@ def decoder_layer(layer: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray,
                   cos, sin, mask, compute_dtype,
                   cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                   cache_pos: Optional[jnp.ndarray] = None,
-                  captures: Optional[Dict[str, jnp.ndarray]] = None):
+                  captures: Optional[Dict[str, jnp.ndarray]] = None,
+                  tp_axis: Optional[str] = None):
     """One decoder block.  Returns (x, (k_cache, v_cache) or None).
 
     If ``captures`` is a dict it is filled with the *input* activations of
     each linear site — the functional equivalent of the reference's forward
     hooks used by GPTQ Hessian accumulation (quantization/gptq.py:123-135)
     and AWQ input-feature caching (awq_utils/pre_quant.py:147-167).
-    """
-    B, S, _ = x.shape
-    hd = cfg.head_dim_
 
+    ``tp_axis`` enables Megatron-style tensor parallelism inside
+    ``shard_map``: q/k/v/gate/up are column-parallel (local heads /
+    intermediate slice), o/down are row-parallel and their partial outputs
+    are ``psum``-reduced over the axis.
+    """
     h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
     if captures is not None:
         captures["self_attn.q_proj"] = h
         captures["self_attn.k_proj"] = h
         captures["self_attn.v_proj"] = h
+    att, new_kv, att_in = attn_block(layer, cfg, h, cos, sin, mask,
+                                     compute_dtype, cache_kv, cache_pos)
+    if captures is not None:
+        captures["self_attn.o_proj"] = att_in
+    if tp_axis is not None:
+        att = jax.lax.psum(att, tp_axis)
+    x = x + att
+
+    h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
+    if captures is not None:
+        captures["mlp.gate_proj"] = h
+        captures["mlp.up_proj"] = h
+    out, act = mlp_block(layer, h, compute_dtype)
+    if captures is not None:
+        captures["mlp.down_proj"] = act
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    x = x + out
+    return x, new_kv
+
+
+def attn_block(layer: Dict[str, Any], cfg: ModelConfig, h: jnp.ndarray,
+               cos, sin, mask, compute_dtype,
+               cache_kv=None, cache_pos=None):
+    """Attention sub-block on the *normed* input ``h``.
+
+    Returns (o_proj output, new kv, o_proj input) — the last is what AWQ's
+    clip search needs (awq_utils/pre_quant.py:147-167).
+    """
+    B, S, _ = h.shape
+    hd = cfg.head_dim_
     q = apply_linear(layer["self_attn.q_proj"], h, compute_dtype)
     k = apply_linear(layer["self_attn.k_proj"], h, compute_dtype)
     v = apply_linear(layer["self_attn.v_proj"], h, compute_dtype)
@@ -159,8 +193,10 @@ def decoder_layer(layer: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray,
     new_kv = None
     if cache_kv is not None:
         k_buf, v_buf = cache_kv  # [B, max_len, n_kv, hd]
-        k_buf = jax.lax.dynamic_update_slice_in_dim(k_buf, k.astype(k_buf.dtype), cache_pos, axis=1)
-        v_buf = jax.lax.dynamic_update_slice_in_dim(v_buf, v.astype(v_buf.dtype), cache_pos, axis=1)
+        k_buf = jax.lax.dynamic_update_slice_in_dim(
+            k_buf, k.astype(k_buf.dtype), cache_pos, axis=1)
+        v_buf = jax.lax.dynamic_update_slice_in_dim(
+            v_buf, v.astype(v_buf.dtype), cache_pos, axis=1)
         new_kv = (k_buf, v_buf)
         k_att, v_att = k_buf.astype(compute_dtype), v_buf.astype(compute_dtype)
     else:
@@ -168,21 +204,16 @@ def decoder_layer(layer: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray,
 
     att = _attention(q, k_att, v_att, mask, compute_dtype)
     att = att.reshape(B, S, cfg.num_heads * hd)
-    if captures is not None:
-        captures["self_attn.o_proj"] = att
-    x = x + apply_linear(layer["self_attn.o_proj"], att, compute_dtype)
+    out = apply_linear(layer["self_attn.o_proj"], att, compute_dtype)
+    return out, new_kv, att
 
-    h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
-    if captures is not None:
-        captures["mlp.gate_proj"] = h
-        captures["mlp.up_proj"] = h
+
+def mlp_block(layer: Dict[str, Any], h: jnp.ndarray, compute_dtype):
+    """SwiGLU MLP on the normed input; returns (output, down_proj input)."""
     gate = apply_linear(layer["mlp.gate_proj"], h, compute_dtype)
     up = apply_linear(layer["mlp.up_proj"], h, compute_dtype)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(compute_dtype) * up
-    if captures is not None:
-        captures["mlp.down_proj"] = act
-    x = x + apply_linear(layer["mlp.down_proj"], act, compute_dtype)
-    return x, new_kv
+    return apply_linear(layer["mlp.down_proj"], act, compute_dtype), act
 
 
 def forward(
@@ -192,6 +223,7 @@ def forward(
     cache: Optional[KVCache] = None,
     positions: Optional[jnp.ndarray] = None,  # [B, S] or [S]
     compute_dtype=jnp.float32,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Returns (logits [B, S, vocab] float32, updated cache or None)."""
     B, S = tokens.shape
@@ -212,7 +244,9 @@ def forward(
     for idx, layer in enumerate(params["layers"]):
         ck = (cache.k[idx], cache.v[idx]) if cache is not None else None
         x, kv = decoder_layer(layer, cfg, x, cos, sin, mask, compute_dtype,
-                              cache_kv=ck, cache_pos=offset if cache is not None else None)
+                              cache_kv=ck,
+                              cache_pos=offset if cache is not None else None,
+                              tp_axis=tp_axis)
         if kv is not None:
             new_k.append(kv[0])
             new_v.append(kv[1])

@@ -1,0 +1,89 @@
+"""Speed measurement harness (reference utils/speed.py modes).
+
+Replicates the reference's benchmark semantics TPU-natively:
+
+* TPS — tokens/s of ``generate`` at prompt 64 -> gen 128, batch 1
+  (speed.py:22-46); here the whole generation is one on-device scan,
+* GEMV — per-decode-token latency (speed.py:50-127): measured as the
+  per-step cost of the decode scan (amortizing the ~25 ms tunnel
+  dispatch, which the reference's per-token loop would pay every token),
+* GEMM — prefill forward latency over 20 iters (speed.py:50-127),
+* TTFT — prompt-to-first-logit wall time (speed.py:186-239),
+* peak memory — device memory_stats (torch.cuda.max_memory_allocated
+  equivalent, speed.py:243-244).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import Engine
+
+
+def device_peak_gib() -> float:
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("peak_bytes_in_use", 0) / 1024**3
+    except Exception:
+        return float("nan")
+
+
+def benchmark_speed(engine: Engine, mode: str = "TPS", prompt_len: int = 64,
+                    gen_len: int = 128, iters: int = 20, seed: int = 0
+                    ) -> Dict[str, float]:
+    cfg = engine.cfg
+    rng = np.random.default_rng(seed)
+    prompt = rng.integers(0, cfg.vocab_size,
+                          (engine.batch_size, prompt_len)).astype(np.int32)
+
+    if mode == "TPS":
+        engine.generate(prompt, max_new_tokens=gen_len)  # warmup/compile
+        t0 = time.perf_counter()
+        engine.generate(prompt, max_new_tokens=gen_len)
+        dt = time.perf_counter() - t0
+        return {"tokens_per_s": gen_len * engine.batch_size / dt,
+                "total_s": dt}
+
+    if mode == "TTFT":
+        cache = engine.new_cache()
+        engine._prefill(engine.params, jnp.asarray(prompt), cache)[0]\
+            .block_until_ready()
+        t0 = time.perf_counter()
+        cache = engine.new_cache()
+        engine._prefill(engine.params, jnp.asarray(prompt), cache)[0]\
+            .block_until_ready()
+        return {"ttft_ms": (time.perf_counter() - t0) * 1e3}
+
+    if mode == "GEMM":
+        cache = engine.new_cache()
+        toks = jnp.asarray(prompt)
+        engine._prefill(engine.params, toks, cache)[0].block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            cache = engine.new_cache()
+            out, cache = engine._prefill(engine.params, toks, cache)
+        out.block_until_ready()
+        return {"prefill_ms": (time.perf_counter() - t0) / iters * 1e3}
+
+    if mode == "GEMV":
+        cache = engine.new_cache()
+        last, cache = engine._prefill(engine.params, jnp.asarray(prompt),
+                                      cache)
+        first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        toks, _ = engine._decode_n(engine.params, first, cache,
+                                   n_steps=gen_len)
+        toks.block_until_ready()
+        t0 = time.perf_counter()
+        toks, _ = engine._decode_n(engine.params, first, cache,
+                                   n_steps=gen_len)
+        toks.block_until_ready()
+        per_tok = (time.perf_counter() - t0) / gen_len
+        return {"decode_token_ms": per_tok * 1e3,
+                "tokens_per_s": 1.0 / per_tok}
+
+    raise ValueError(f"unknown mode {mode!r}")

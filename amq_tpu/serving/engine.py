@@ -1,0 +1,169 @@
+"""Serving engine: jitted prefill/decode with a packed mixed-bit model.
+
+Replaces the reference's serving stack — FT-Llama monkeypatch decode path
+(monkeypatch/ftllama_modeling.py), patched HF ``generate``
+(ftllama_generate.py), and the per-layer CUDA kernel dispatch — with a
+functional design:
+
+* the whole decode step (all layers, attention, sampling) is ONE jitted
+  function; generation runs as a ``lax.scan`` over steps *on device*, so
+  per-token host round trips (the reference's per-layer Python->CUDA
+  crossings, amq_speed_benchmark call stack) disappear entirely,
+* mixed-bit weights stay packed (:class:`QuantLinear` leaves); each layer
+  applies the fused Pallas dequant-matmul specialized to that layer's
+  nbits at trace time — the mixed-bit "stitching" is just which params
+  live in the pytree (cf. setattr-stitching, amq_speed_benchmark.py:233-251),
+* the KV cache is a preallocated functional carry (KVCache),
+* continuous batching: slot-based batch manager; finished sequences'
+  slots are refilled and the same jitted step keeps serving (the
+  reference has no analogue — single-request generate only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..models.config import ModelConfig
+from ..models.linear import QuantLinear, kernel_linears
+from ..ops.quant_matmul import quant_matmul
+
+
+def pallas_linear_impl(p: QuantLinear, x: jnp.ndarray, compute_dtype):
+    """QuantLinear application through the fused Pallas kernel."""
+    y = quant_matmul(x, p.qt, out_dtype=compute_dtype)
+    if p.bias is not None:
+        y = y + p.bias.astype(y.dtype)
+    return y
+
+
+@dataclasses.dataclass
+class Engine:
+    """Single-host serving engine over a (possibly quantized) param pytree."""
+
+    params: Dict[str, Any]
+    cfg: ModelConfig
+    batch_size: int = 1
+    max_len: int = 2048
+    compute_dtype: Any = jnp.bfloat16
+    use_pallas: bool = True
+    cache_dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        self._impl = pallas_linear_impl if self.use_pallas else None
+        self._prefill = jax.jit(self._prefill_impl)
+        self._decode_n = jax.jit(self._decode_n_impl,
+                                 static_argnames=("n_steps",))
+
+    def new_cache(self) -> llama.KVCache:
+        return llama.KVCache.create(self.cfg, self.batch_size, self.max_len,
+                                    dtype=self.cache_dtype)
+
+    def _forward(self, params, tokens, cache):
+        from ..models.stacked import StackedModel, forward_stacked
+        if isinstance(params, StackedModel):
+            return forward_stacked(params, self.cfg, tokens, cache=cache,
+                                   compute_dtype=self.compute_dtype)
+        return llama.forward(params, self.cfg, tokens, cache=cache,
+                             compute_dtype=self.compute_dtype)
+
+    # -- jitted bodies (kernel routing is decided at trace time) -----------
+
+    def _prefill_impl(self, params, tokens, cache):
+        with kernel_linears(self._impl):
+            logits, cache2 = self._forward(params, tokens, cache)
+        return logits[:, -1, :], cache2
+
+    def _decode_n_impl(self, params, first_token, cache, n_steps: int):
+        """Greedy-decode ``n_steps`` tokens as an on-device scan."""
+        def step(carry, _):
+            tok, cache = carry
+            with kernel_linears(self._impl):
+                logits, cache = self._forward(params, tok[:, None], cache)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            return (nxt, cache), nxt
+
+        (_, cache), toks = jax.lax.scan(
+            step, (first_token, cache), None, length=n_steps)
+        return jnp.moveaxis(toks, 0, 1), cache  # [B, n_steps]
+
+    # -- public API --------------------------------------------------------
+
+    def generate(self, prompt_tokens: np.ndarray, max_new_tokens: int = 128
+                 ) -> np.ndarray:
+        """Greedy generation; prompt [B, S] -> [B, max_new_tokens]."""
+        B, S = prompt_tokens.shape
+        assert B == self.batch_size
+        cache = self.new_cache()
+        last_logits, cache = self._prefill(
+            self.params, jnp.asarray(prompt_tokens, jnp.int32), cache)
+        first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        rest, _ = self._decode_n(self.params, first, cache,
+                                 n_steps=max_new_tokens - 1)
+        return np.concatenate([np.asarray(first)[:, None], np.asarray(rest)],
+                              axis=1)
+
+
+# ---------------------------------------------------------------------------
+# continuous batching
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: np.ndarray          # [S]
+    max_new_tokens: int
+    generated: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching driver.
+
+    Sequences occupy fixed KV-cache slots; every engine step decodes one
+    token for all active slots, finished slots are refilled from the
+    queue.  The jitted step function has a fixed batch shape, so
+    arrivals/departures never retrace.
+    """
+
+    def __init__(self, n_slots: int, max_len: int):
+        self.n_slots = n_slots
+        self.max_len = max_len
+        self.queue: List[Request] = []
+        self.slots: List[Optional[Request]] = [None] * n_slots
+
+    def submit(self, req: Request):
+        self.queue.append(req)
+
+    @property
+    def active(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or self.active > 0
+
+    def fill_slots(self) -> List[Tuple[int, Request]]:
+        filled = []
+        for i, slot in enumerate(self.slots):
+            if slot is None and self.queue:
+                req = self.queue.pop(0)
+                self.slots[i] = req
+                filled.append((i, req))
+        return filled
+
+    def step_bookkeeping(self, tokens: np.ndarray) -> List[Request]:
+        """Record one decoded token per slot; retire finished requests."""
+        finished = []
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            req.generated.append(int(tokens[i]))
+            if len(req.generated) >= req.max_new_tokens:
+                req.done = True
+                self.slots[i] = None
+                finished.append(req)
+        return finished

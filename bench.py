@@ -1,0 +1,188 @@
+"""Headline benchmark: mixed-precision Llama-2-7B decode on one TPU chip.
+
+Measures decode tokens/s of the avg-3-bit mixed 2/3/4-bit model (the
+BASELINE.json headline: "tokens/s/chip decode at Llama-2-7B avg-3-bit"),
+via the stacked scan-over-layers engine with fused Pallas dequant-matmul
+kernels.  Weights are synthetic (this environment has no model hub), which
+is irrelevant for throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
+
+vs_baseline divides by the only throughput number recoverable from the
+reference repo: HQQ's ~158 tok/s for Llama-3-8B 4-bit on an RTX 4090
+(amq/kernel/hqq/Readme.md:153; BASELINE.md) — the reference publishes no
+AMQ benchmark results.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from amq_tpu.core.bitpack import packed_rows  # noqa: E402
+from amq_tpu.models import get_config  # noqa: E402
+from amq_tpu.models.config import LINEAR_NAMES  # noqa: E402
+from amq_tpu.models.llama import KVCache  # noqa: E402
+from amq_tpu.models.stacked import StackedModel, StackedQuant  # noqa: E402
+from amq_tpu.serving import Engine  # noqa: E402
+
+MODEL = os.environ.get("BENCH_MODEL", "Llama-2-7b-hf")
+BITS_RANGE = (2, 3, 4)
+GROUP = 128
+PROMPT_LEN = 64          # reference default (amq_speed_benchmark.py:107-109)
+GEN_LEN = 128
+USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
+BASELINE_TPS = 158.0     # hqq Readme.md:153 (RTX 4090, Llama-3-8B 4-bit)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def random_stacked_model(cfg, rng) -> StackedModel:
+    """Synthetic packed model, generated ON DEVICE (host->device transfer of
+    ~9 GB over the axon tunnel takes tens of minutes; jax.random on-chip
+    takes seconds)."""
+    L, H = cfg.num_layers, cfg.hidden_size
+
+    @jax.jit
+    def gen(key):
+        out = {}
+        for j, name in enumerate(LINEAR_NAMES):
+            N, K = cfg.linear_shape(name)
+            for b in BITS_RANGE:
+                key, k1, k2, k3 = jax.random.split(key, 4)
+                rows = K * b // 32
+                out[f"{name}/{b}/packed"] = jax.random.bits(
+                    k1, (L, rows, N), jnp.uint32)
+                out[f"{name}/{b}/scale"] = jax.random.uniform(
+                    k2, (L, K // GROUP, N), jnp.float32) * 0.02
+                out[f"{name}/{b}/zero"] = jax.random.uniform(
+                    k3, (L, K // GROUP, N), jnp.float32) * (2**b - 1)
+        key, k1, k2 = jax.random.split(key, 3)
+        out["embed"] = (jax.random.normal(k1, (cfg.vocab_size, H), jnp.float32)
+                        * 0.02).astype(jnp.bfloat16)
+        out["head"] = (jax.random.normal(k2, (cfg.vocab_size, H), jnp.float32)
+                       * 0.02).astype(jnp.bfloat16)
+        return out
+
+    arrs = gen(jax.random.PRNGKey(0))
+    sites, biases, select = {}, {}, {}
+    for j, name in enumerate(LINEAR_NAMES):
+        N, K = cfg.linear_shape(name)
+        sites[name] = tuple(
+            StackedQuant(packed=arrs[f"{name}/{b}/packed"],
+                         scale=arrs[f"{name}/{b}/scale"],
+                         zero=arrs[f"{name}/{b}/zero"],
+                         nbits=b, group_size=GROUP, shape=(N, K))
+            for b in BITS_RANGE)
+        biases[name] = None
+        # cycle 2/3/4 across layers -> mean exactly 3 bits
+        select[name] = jnp.asarray(
+            [(i + j) % len(BITS_RANGE) for i in range(L)], jnp.int32)
+
+    return StackedModel(
+        embed=arrs["embed"], final_norm=jnp.ones((H,), jnp.bfloat16),
+        lm_head=arrs["head"],
+        input_norm=jnp.ones((L, H), jnp.bfloat16),
+        post_norm=jnp.ones((L, H), jnp.bfloat16),
+        sites=sites, biases=biases, select=select,
+        bits_range=BITS_RANGE, num_layers=L)
+
+
+def weight_bytes_per_token(cfg) -> float:
+    """HBM bytes touched per decode token (packed weights + scale/zero)."""
+    total = 0.0
+    for j, name in enumerate(LINEAR_NAMES):
+        N, K = cfg.linear_shape(name)
+        for i in range(cfg.num_layers):
+            b = BITS_RANGE[(i + j) % len(BITS_RANGE)]
+            total += K * N * b / 8 + (K // GROUP) * N * 2 * 4
+    total += 2 * cfg.vocab_size * cfg.hidden_size * 2  # embed + head bf16
+    return total
+
+
+def main():
+    log(f"devices: {jax.devices()}  model={MODEL} pallas={USE_PALLAS}")
+    cfg = get_config(MODEL)
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    model = random_stacked_model(cfg, rng)
+    jax.block_until_ready(model.embed)
+    log(f"model built in {time.time() - t0:.1f}s")
+
+    eng = Engine(model, cfg, batch_size=1, max_len=PROMPT_LEN + GEN_LEN + 8,
+                 compute_dtype=jnp.bfloat16, use_pallas=USE_PALLAS)
+    prompt = rng.integers(0, cfg.vocab_size, (1, PROMPT_LEN)).astype(np.int32)
+
+    def sync(x):
+        # block_until_ready does not reliably synchronize on the tunneled
+        # axon backend; a host transfer does
+        return np.asarray(x)
+
+    # --- prefill (TTFT) ---
+    cache = eng.new_cache()
+    t0 = time.time()
+    last, cache = eng._prefill(eng.params, jnp.asarray(prompt), cache)
+    sync(last)
+    log(f"prefill compile+run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    c2 = eng.new_cache()
+    last, c2 = eng._prefill(eng.params, jnp.asarray(prompt), c2)
+    sync(last)
+    ttft = time.time() - t0
+    log(f"TTFT (prefill {PROMPT_LEN}): {ttft*1e3:.1f}ms")
+
+    first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+
+    # --- decode ---
+    t0 = time.time()
+    toks, _ = eng._decode_n(eng.params, first, c2, n_steps=GEN_LEN)
+    tok_host = sync(toks)
+    log(f"decode compile+run: {time.time() - t0:.1f}s; "
+        f"sample tokens {tok_host[0, :8].tolist()}")
+    assert tok_host.shape == (1, GEN_LEN)
+    assert (tok_host >= 0).all() and (tok_host < cfg.vocab_size).all()
+
+    best = np.inf
+    for rep in range(3):
+        c3 = eng.new_cache()
+        last, c3 = eng._prefill(eng.params, jnp.asarray(prompt), c3)
+        first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        sync(first)
+        t0 = time.time()
+        toks, _ = eng._decode_n(eng.params, first, c3, n_steps=GEN_LEN)
+        sync(toks)
+        dt = time.time() - t0
+        best = min(best, dt)
+        log(f"rep {rep}: {GEN_LEN} tokens in {dt*1e3:.1f}ms "
+            f"({GEN_LEN/dt:.1f} tok/s)")
+
+    tps = GEN_LEN / best
+    per_tok = best / GEN_LEN
+    bw = weight_bytes_per_token(cfg) / per_tok / 1e9
+    log(f"per-token {per_tok*1e3:.2f}ms -> weight stream {bw:.0f} GB/s "
+        f"(v5e HBM ~819 GB/s => {bw/819*100:.0f}% roofline incl. dispatch)")
+
+    print(json.dumps({
+        "metric": f"decode_tokens_per_s_{MODEL}_avg3bit_chip",
+        "value": round(tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / BASELINE_TPS, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+// amq_native — host-side native runtime for amq_tpu.
+//
+// TPU-native counterpart of the reference's C++ host layer (FT.cpp /
+// ft_attention.cpp bindings + AutoGPTQ setup): the device compute moved to
+// Pallas/XLA, so the native surface here is the *host* hot paths:
+//
+//  * sub-byte bit packing/unpacking in the framework's group-aligned planar
+//    layout (amq_tpu/core/bitpack.py) — used by checkpoint I/O and HF
+//    import, where Python/numpy packing of ~10^10 weights dominates,
+//  * the continuous-batching scheduler (slot allocation, FCFS admission,
+//    retirement) driven from the serving loop.
+//
+// C ABI only (loaded via ctypes; no pybind11 in this environment).
+
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// bit packing: codes [K, N] row-major uint32 -> words [K*b/32, N]
+// layout: per group of g K-rows, planar within the group (see bitpack.py);
+// 3-bit = 2-bit plane (code >> 1) followed by 1-bit plane (code & 1).
+
+static void pack_pow2(const uint32_t* codes, uint32_t* out, int64_t K,
+                      int64_t N, int64_t g, int b, int shift_in,
+                      uint32_t mask_in, int64_t out_stride_rows) {
+  const int64_t vals_per_word = 32 / b;
+  const int64_t rows = g * b / 32;  // packed rows per group
+  const int64_t G = K / g;
+  for (int64_t grp = 0; grp < G; ++grp) {
+    const uint32_t* src = codes + grp * g * N;
+    uint32_t* dst = out + grp * out_stride_rows * N;
+    for (int64_t r = 0; r < rows; ++r) {
+      uint32_t* row_out = dst + r * N;
+      std::memset(row_out, 0, sizeof(uint32_t) * N);
+      for (int64_t i = 0; i < vals_per_word; ++i) {
+        const int shift = b * (vals_per_word - 1 - i);
+        const uint32_t* row_in = src + (i * rows + r) * N;
+        for (int64_t n = 0; n < N; ++n) {
+          uint32_t v = (row_in[n] >> shift_in) & mask_in;
+          row_out[n] |= v << shift;
+        }
+      }
+    }
+  }
+}
+
+static void unpack_pow2(const uint32_t* words, uint32_t* out, int64_t K,
+                        int64_t N, int64_t g, int b, int shift_out,
+                        int64_t in_stride_rows, bool accumulate) {
+  const int64_t vals_per_word = 32 / b;
+  const int64_t rows = g * b / 32;
+  const int64_t G = K / g;
+  const uint32_t mask = (1u << b) - 1u;
+  for (int64_t grp = 0; grp < G; ++grp) {
+    const uint32_t* src = words + grp * in_stride_rows * N;
+    uint32_t* dst = out + grp * g * N;
+    for (int64_t r = 0; r < rows; ++r) {
+      const uint32_t* row_in = src + r * N;
+      for (int64_t i = 0; i < vals_per_word; ++i) {
+        const int shift = b * (vals_per_word - 1 - i);
+        uint32_t* row_out = dst + (i * rows + r) * N;
+        if (accumulate) {
+          for (int64_t n = 0; n < N; ++n)
+            row_out[n] |= ((row_in[n] >> shift) & mask) << shift_out;
+        } else {
+          for (int64_t n = 0; n < N; ++n)
+            row_out[n] = ((row_in[n] >> shift) & mask) << shift_out;
+        }
+      }
+    }
+  }
+}
+
+// returns 0 on success, -1 on bad arguments
+int amq_pack(const uint32_t* codes, uint32_t* out, int64_t K, int64_t N,
+             int64_t group_size, int nbits) {
+  if (K % group_size != 0) return -1;
+  if (nbits == 1 || nbits == 2 || nbits == 4 || nbits == 8) {
+    pack_pow2(codes, out, K, N, group_size, nbits, 0, (1u << nbits) - 1u,
+              group_size * nbits / 32);
+    return 0;
+  }
+  if (nbits == 3) {
+    const int64_t rows3 = group_size * 3 / 32;   // 12 per 128-group
+    const int64_t rows2 = group_size * 2 / 32;   // hi plane rows
+    // hi plane: (code >> 1) & 3 packed as 2-bit at the group start
+    pack_pow2(codes, out, K, N, group_size, 2, 1, 0x3u, rows3);
+    // lo plane: (code & 1) packed as 1-bit after the hi rows
+    pack_pow2(codes, out + rows2 * N, K, N, group_size, 1, 0, 0x1u, rows3);
+    return 0;
+  }
+  return -1;
+}
+
+int amq_unpack(const uint32_t* words, uint32_t* out, int64_t K, int64_t N,
+               int64_t group_size, int nbits) {
+  if (K % group_size != 0) return -1;
+  if (nbits == 1 || nbits == 2 || nbits == 4 || nbits == 8) {
+    unpack_pow2(words, out, K, N, group_size, nbits, 0,
+                group_size * nbits / 32, false);
+    return 0;
+  }
+  if (nbits == 3) {
+    const int64_t rows3 = group_size * 3 / 32;
+    const int64_t rows2 = group_size * 2 / 32;
+    unpack_pow2(words, out, K, N, group_size, 2, 1, rows3, false);
+    unpack_pow2(words + rows2 * N, out, K, N, group_size, 1, 0, rows3, true);
+    return 0;
+  }
+  return -1;
+}
+
+// ---------------------------------------------------------------------------
+// continuous-batching scheduler
+
+struct Request {
+  int64_t uid;
+  int32_t max_new_tokens;
+  int32_t generated;
+};
+
+struct Scheduler {
+  std::mutex mu;
+  std::deque<Request> queue;
+  std::vector<Request> slots;    // slot i; uid < 0 => free
+  int64_t completed = 0;
+};
+
+void* amq_sched_create(int32_t n_slots) {
+  auto* s = new Scheduler();
+  s->slots.assign(n_slots, Request{-1, 0, 0});
+  return s;
+}
+
+void amq_sched_destroy(void* h) { delete static_cast<Scheduler*>(h); }
+
+void amq_sched_submit(void* h, int64_t uid, int32_t max_new_tokens) {
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> lk(s->mu);
+  s->queue.push_back(Request{uid, max_new_tokens, 0});
+}
+
+// fills free slots from the queue; writes the newly filled slot indices to
+// out_slots / their uids to out_uids; returns the count
+int32_t amq_sched_fill(void* h, int32_t* out_slots, int64_t* out_uids,
+                       int32_t cap) {
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> lk(s->mu);
+  int32_t n = 0;
+  for (size_t i = 0; i < s->slots.size() && n < cap; ++i) {
+    if (s->slots[i].uid < 0 && !s->queue.empty()) {
+      s->slots[i] = s->queue.front();
+      s->queue.pop_front();
+      out_slots[n] = static_cast<int32_t>(i);
+      out_uids[n] = s->slots[i].uid;
+      ++n;
+    }
+  }
+  return n;
+}
+
+// records one decoded token per active slot; writes retired slot indices,
+// returns the number retired
+int32_t amq_sched_step(void* h, int32_t* retired, int32_t cap) {
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> lk(s->mu);
+  int32_t n = 0;
+  for (size_t i = 0; i < s->slots.size(); ++i) {
+    Request& r = s->slots[i];
+    if (r.uid < 0) continue;
+    if (++r.generated >= r.max_new_tokens) {
+      if (n < cap) retired[n++] = static_cast<int32_t>(i);
+      r.uid = -1;
+      ++s->completed;
+    }
+  }
+  return n;
+}
+
+int32_t amq_sched_active(void* h) {
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> lk(s->mu);
+  int32_t n = 0;
+  for (auto& r : s->slots) n += (r.uid >= 0);
+  return n;
+}
+
+int64_t amq_sched_pending(void* h) {
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> lk(s->mu);
+  return static_cast<int64_t>(s->queue.size());
+}
+
+}  // extern "C"

@@ -1,0 +1,118 @@
+"""PTQ algorithms: GPTQ beats round-to-nearest under the Hessian metric,
+AWQ/OWQ end-to-end improve over plain quantization, mixed-bit archs obey
+per-layer bits."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from amq_tpu.core.pseudo import find_params_minmax, pseudo_quantize, quantize_affine
+from amq_tpu.evaluation import Evaluator
+from amq_tpu.evaluation.data import synthetic_tokens
+from amq_tpu.models import get_config, init_params
+from amq_tpu.models.config import LINEAR_NAMES
+from amq_tpu.quantization import get_quantized_params
+from amq_tpu.quantization.gptq import gptq_quantize_weight
+from amq_tpu.quantization.owq import compute_n_out, owq_quantize_weight
+
+
+def _hessian_loss(W, Q, H):
+    """tr((W-Q) H (W-Q)^T) — the quantity GPTQ minimizes greedily."""
+    D = np.asarray(W - Q, np.float64)
+    return float(np.trace(D @ np.asarray(H, np.float64) @ D.T))
+
+
+def _random_problem(rows=64, cols=256, n_x=512, seed=0):
+    rng = np.random.default_rng(seed)
+    W = rng.normal(size=(rows, cols)).astype(np.float32)
+    # correlated activations -> informative Hessian
+    base = rng.normal(size=(n_x, cols // 4)).astype(np.float32)
+    mix = rng.normal(size=(cols // 4, cols)).astype(np.float32)
+    X = base @ mix + 0.1 * rng.normal(size=(n_x, cols)).astype(np.float32)
+    H = (2.0 / n_x) * X.T @ X
+    return W, H, X
+
+
+def _rtn(W, bits, group_size=128):
+    """round-to-nearest with the same per-group minmax params."""
+    rows, cols = W.shape
+    Wg = jnp.asarray(W).reshape(rows, cols // group_size, group_size)
+    out = []
+    for g in range(cols // group_size):
+        p = find_params_minmax(Wg[:, g], bits)
+        out.append(quantize_affine(Wg[:, g], p.scale, p.zero, 2**bits - 1))
+    return jnp.stack(out, axis=1).reshape(rows, cols)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4])
+def test_gptq_beats_rtn_on_hessian_metric(bits):
+    W, H, _ = _random_problem()
+    Q = gptq_quantize_weight(jnp.asarray(W), jnp.asarray(H), bits)
+    Q_rtn = _rtn(W, bits)
+    l_gptq = _hessian_loss(W, np.asarray(Q), H)
+    l_rtn = _hessian_loss(W, np.asarray(Q_rtn), H)
+    assert l_gptq < l_rtn, (bits, l_gptq, l_rtn)
+    # outputs live on the quantization lattice per group: error bounded
+    assert np.isfinite(np.asarray(Q)).all()
+
+
+def test_gptq_actorder_also_beats_rtn():
+    W, H, _ = _random_problem(seed=3)
+    Q = gptq_quantize_weight(jnp.asarray(W), jnp.asarray(H), 3, actorder=True)
+    assert _hessian_loss(W, np.asarray(Q), H) < _hessian_loss(
+        W, np.asarray(_rtn(W, 3)), H)
+
+
+def test_owq_outliers_preserved_and_better():
+    W, H, _ = _random_problem(seed=1)
+    # inflate a few columns' Hessian mass -> they should become outliers
+    H[7, 7] *= 100
+    H[100, 100] *= 100
+    Q_owq = owq_quantize_weight(jnp.asarray(W), jnp.asarray(H), 2, n_out=4)
+    Q_gptq = gptq_quantize_weight(jnp.asarray(W), jnp.asarray(H), 2)
+    l_owq = _hessian_loss(W, np.asarray(Q_owq), H)
+    l_gptq = _hessian_loss(W, np.asarray(Q_gptq), H)
+    assert l_owq < l_gptq, (l_owq, l_gptq)
+
+
+def test_owq_n_out_budget():
+    cfg = get_config("Llama-2-7b-hf")
+    n_out = compute_n_out(cfg, avg_bits=3.25)
+    # attention sites share one budget, MLP gets 0.375x
+    assert n_out["self_attn.q_proj"] == n_out["self_attn.o_proj"]
+    assert n_out["mlp.down_proj"] < n_out["self_attn.q_proj"] * 3
+    assert all(v % 2 == 0 for v in n_out.values())
+    assert all(v > 0 for v in n_out.values())
+
+
+@pytest.mark.parametrize("method", ["gptq", "awq", "owq"])
+def test_ptq_model_end_to_end(method):
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    toks = synthetic_tokens(cfg.vocab_size, n_sample=2, seqlen=64, seed=0)
+    arch = {"linear": {l: [3] * cfg.num_layers for l in LINEAR_NAMES}}
+    arch["linear"]["mlp.down_proj"] = [4] * cfg.num_layers
+
+    calib = synthetic_tokens(cfg.vocab_size, n_sample=2, seqlen=32, seed=7)
+    qparams = get_quantized_params(
+        params, cfg, method, arch, avg_bits=3.3, calib_tokens=calib)
+
+    ev = Evaluator(cfg, dense_params=params, datasets={"synthetic": toks},
+                   search=False, batch_size=2,
+                   quantize_fn=lambda p, c, a, m: qparams)
+    ppl_q = ev.eval(arch, method=method)[0]["synthetic"]
+    ppl_dense = ev.eval_ppl(params, toks)
+    # quantized model must stay within a reasonable factor of dense
+    assert ppl_q < ppl_dense * 3, (method, ppl_q, ppl_dense)
+
+
+def test_mixed_bits_respected_by_hqq_proxy():
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    arch = {"linear": {l: [2] * cfg.num_layers for l in LINEAR_NAMES}}
+    arch["linear"]["self_attn.q_proj"] = [4] * cfg.num_layers
+    qparams = get_quantized_params(params, cfg, "hqq", arch)
+    for layer in qparams["layers"]:
+        assert layer["self_attn.q_proj"].qt.nbits == 4
+        assert layer["mlp.down_proj"].qt.nbits == 2

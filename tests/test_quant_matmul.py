@@ -1,0 +1,44 @@
+"""Pallas fused dequant-matmul vs the XLA reference path.
+
+Runs in interpreter mode on CPU (pl.pallas_call(interpret=...) via
+pltpu.force_tpu_interpret_mode); the real-TPU run is bench.py's job.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from amq_tpu.core import quantize as q
+from amq_tpu.ops.quant_matmul import quant_matmul, quant_matmul_reference
+
+
+@pytest.mark.parametrize("nbits", [2, 3, 4, 8])
+@pytest.mark.parametrize("M", [1, 8, 32])
+def test_matches_reference(nbits, M):
+    rng = np.random.default_rng(0)
+    N, K = 256, 512
+    W = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32))
+    qt = q.quantize(W, nbits=nbits, group_size=128)
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+
+    want = quant_matmul_reference(x, qt)
+    with pltpu.force_tpu_interpret_mode():
+        got = quant_matmul(x, qt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_batched_leading_dims():
+    rng = np.random.default_rng(1)
+    N, K = 128, 256
+    W = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32))
+    qt = q.quantize(W, nbits=4)
+    x = jnp.asarray(rng.normal(size=(2, 3, K)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = quant_matmul(x, qt)
+    want = quant_matmul_reference(x, qt)
+    assert got.shape == (2, 3, N)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -1,0 +1,85 @@
+"""StackedModel (scan-over-layers) must match the per-layer python-loop
+forward, with and without KV cache, across mixed-bit selections."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from amq_tpu.models import (
+    KVCache, build_switch_model, forward, get_config, init_params,
+    quantize_model, set_arch as set_switch_arch,
+)
+from amq_tpu.models.config import LINEAR_NAMES
+from amq_tpu.models import stacked
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    bits_range = [2, 3, 4]
+    proxies = [quantize_model(params, cfg, b) for b in bits_range]
+    return cfg, params, bits_range, proxies
+
+
+def _rand_arch(cfg, bits_range, seed):
+    rng = np.random.default_rng(seed)
+    return {"linear": {l: rng.choice(bits_range, cfg.num_layers).tolist()
+                       for l in LINEAR_NAMES}}
+
+
+def test_stacked_matches_switch_forward(setup):
+    cfg, params, bits_range, proxies = setup
+    arch = _rand_arch(cfg, bits_range, 0)
+    model = stacked.stack_proxies(proxies, bits_range, arch)
+    switch = set_switch_arch(build_switch_model(proxies, bits_range), arch,
+                             bits_range)
+    tokens = jnp.arange(10, dtype=jnp.int32)[None] % cfg.vocab_size
+    got, _ = stacked.forward_stacked(model, cfg, tokens,
+                                     compute_dtype=jnp.float32)
+    want, _ = forward(switch, cfg, tokens, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_stacked_set_arch_no_retrace(setup):
+    cfg, params, bits_range, proxies = setup
+    model = stacked.stack_proxies(proxies, bits_range)
+    count = {"n": 0}
+
+    @jax.jit
+    def run(m, toks):
+        count["n"] += 1
+        return stacked.forward_stacked(m, cfg, toks,
+                                       compute_dtype=jnp.float32)[0]
+
+    toks = jnp.zeros((1, 4), jnp.int32)
+    run(model, toks)
+    run(stacked.set_arch(model, _rand_arch(cfg, bits_range, 1)), toks)
+    run(stacked.set_arch(model, _rand_arch(cfg, bits_range, 2)), toks)
+    assert count["n"] == 1
+
+
+def test_stacked_decode_with_cache_matches_full(setup):
+    cfg, params, bits_range, proxies = setup
+    arch = _rand_arch(cfg, bits_range, 3)
+    model = stacked.stack_proxies(proxies, bits_range, arch)
+    rng = np.random.default_rng(4)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 9)).astype(np.int32))
+
+    full, _ = stacked.forward_stacked(model, cfg, tokens,
+                                      compute_dtype=jnp.float32)
+    cache = KVCache.create(cfg, 1, 16, dtype=jnp.float32)
+    l_pre, cache = stacked.forward_stacked(model, cfg, tokens[:, :5],
+                                           cache=cache,
+                                           compute_dtype=jnp.float32)
+    outs = [l_pre]
+    for i in range(5, 9):
+        l, cache = stacked.forward_stacked(model, cfg, tokens[:, i:i + 1],
+                                           cache=cache,
+                                           compute_dtype=jnp.float32)
+        outs.append(l)
+    inc = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(inc),
+                               rtol=2e-4, atol=2e-4)
