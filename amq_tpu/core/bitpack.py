@@ -35,10 +35,25 @@ import jax.numpy as jnp
 
 SUPPORTED_BITS = (1, 2, 3, 4, 8)
 
-#: packed uint32 rows per group row-count: rows(g, b) = g * b // 32
+#: packed uint32 rows per block row-count: rows(block, b) = block * b // 32
 def packed_rows(group_size: int, nbits: int) -> int:
     assert (group_size * nbits) % 32 == 0, (group_size, nbits)
     return group_size * nbits // 32
+
+
+def pick_superblock(K: int, group_size: int = 128,
+                    candidates=(1024, 512, 256, 128)) -> int:
+    """Largest packing block dividing K (and a multiple of the quant group).
+
+    The packing block ("superblock") is the planar-packing unit AND the
+    kernel's K-tile: bigger blocks mean full-slab plane extractions on the
+    VPU (the per-128-group layout made 3-bit unpack 7x slower than 4-bit
+    on v5e because 12-row slices are sublane-misaligned).
+    """
+    for c in candidates:
+        if K % c == 0 and c % group_size == 0:
+            return c
+    raise ValueError(f"no superblock for K={K}, group={group_size}")
 
 
 def _pack_pow2_group(codes: jnp.ndarray, nbits: int) -> jnp.ndarray:
@@ -74,9 +89,12 @@ def _unpack_pow2_group(words: jnp.ndarray, nbits: int, group_size: int) -> jnp.n
 def pack(codes: jnp.ndarray, nbits: int, group_size: int = 128) -> jnp.ndarray:
     """Pack integer codes ``[K, N]`` -> uint32 ``[K * nbits / 32, N]``.
 
-    ``K`` must be a multiple of ``group_size`` and ``group_size * nbits`` a
-    multiple of 32.  For ``nbits == 3`` the result is the concatenation of a
-    2-bit plane (codes >> 1) and a 1-bit plane (codes & 1) per group.
+    ``group_size`` here is the *packing block* (planar unit) — pass the
+    superblock from :func:`pick_superblock` for kernel-facing tensors; it
+    need not equal the quantization group.  ``K`` must be a multiple of it
+    and ``block * nbits`` a multiple of 32.  For ``nbits == 3`` the result
+    is a 2-bit plane (codes >> 1) followed by a 1-bit plane (codes & 1)
+    per block.
     """
     assert nbits in SUPPORTED_BITS, nbits
     K, N = codes.shape

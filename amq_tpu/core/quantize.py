@@ -54,6 +54,12 @@ class QuantizedTensor:
     nbits: int = dataclasses.field(metadata=dict(static=True))
     group_size: int = dataclasses.field(metadata=dict(static=True))
     shape: tuple = dataclasses.field(metadata=dict(static=True))  # (out, in)
+    #: planar packing block (= the fused kernel's K tile); 0 -> group_size
+    superblock: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def superblock_(self) -> int:
+        return self.superblock or self.group_size
 
     @property
     def out_features(self) -> int:
@@ -114,7 +120,9 @@ def optimize_zero_proximal(
     return best_zero
 
 
-@partial(jax.jit, static_argnames=("nbits", "group_size", "optimize", "round_zero", "compute_dtype"))
+@partial(jax.jit, static_argnames=("nbits", "group_size", "optimize",
+                                   "round_zero", "compute_dtype",
+                                   "superblock"))
 def quantize(
     W: jnp.ndarray,
     nbits: int = 4,
@@ -122,6 +130,7 @@ def quantize(
     optimize: bool = True,
     round_zero: Optional[bool] = None,
     compute_dtype=jnp.float32,
+    superblock: Optional[int] = None,
 ) -> QuantizedTensor:
     """HQQ-quantize an ``[out, in]`` weight into a :class:`QuantizedTensor`.
 
@@ -160,7 +169,10 @@ def quantize(
     zero_t = zero.reshape(out_f, n_groups_per_row).T.astype(compute_dtype)
 
     codes_kn = W_q.reshape(out_f, in_f).T.astype(jnp.uint32)  # [K, N]
-    packed = bitpack.pack(codes_kn, nbits, group_size)
+    # a tensor-parallel shard must own whole superblocks: callers that
+    # will shard K pass an explicit (smaller) superblock
+    superblock = superblock or bitpack.pick_superblock(in_f, group_size)
+    packed = bitpack.pack(codes_kn, nbits, superblock)
 
     return QuantizedTensor(
         packed=packed,
@@ -169,12 +181,13 @@ def quantize(
         nbits=nbits,
         group_size=group_size,
         shape=(out_f, in_f),
+        superblock=superblock,
     )
 
 
 def dequantize_kn(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
     """Dequantize to the transposed ``[in, out]`` layout (kernel orientation)."""
-    codes = bitpack.unpack(qt.packed, qt.nbits, qt.group_size)  # [K, N]
+    codes = bitpack.unpack(qt.packed, qt.nbits, qt.superblock_)  # [K, N]
     K, N = codes.shape
     g = qt.group_size
     c = codes.reshape(K // g, g, N).astype(dtype)

@@ -44,13 +44,15 @@ class StackedQuant:
     nbits: int = dataclasses.field(metadata=dict(static=True))
     group_size: int = dataclasses.field(metadata=dict(static=True))
     shape: tuple = dataclasses.field(metadata=dict(static=True))  # (out, in)
+    superblock: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     def layer(self, i) -> QuantizedTensor:
         return QuantizedTensor(
             packed=jax.lax.dynamic_index_in_dim(self.packed, i, 0, False),
             scale=jax.lax.dynamic_index_in_dim(self.scale, i, 0, False),
             zero=jax.lax.dynamic_index_in_dim(self.zero, i, 0, False),
-            nbits=self.nbits, group_size=self.group_size, shape=self.shape)
+            nbits=self.nbits, group_size=self.group_size, shape=self.shape,
+            superblock=self.superblock)
 
 
 @jax.tree_util.register_dataclass
@@ -68,38 +70,84 @@ class StackedModel:
     select: Dict[str, jnp.ndarray]              # name -> [L] int32
     bits_range: tuple = dataclasses.field(metadata=dict(static=True))
     num_layers: int = dataclasses.field(metadata=dict(static=True))
+    #: every site shares one per-layer selector -> whole-layer switch
+    uniform_select: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
+
+# fused site groups: one kernel launch for q/k/v and for gate/up (same
+# input, outputs concatenated along lanes).  Only valid when the arch
+# assigns equal bits to every member in a layer.
+FUSED_GROUPS = {
+    "self_attn.qkv_proj": ("self_attn.q_proj", "self_attn.k_proj",
+                           "self_attn.v_proj"),
+    "mlp.gateup_proj": ("mlp.gate_proj", "mlp.up_proj"),
+}
+
+
+def _arch_fusable(arch: Optional[Dict], L: int) -> bool:
+    if arch is None:
+        return True
+    for members in FUSED_GROUPS.values():
+        for i in range(L):
+            if len({int(arch["linear"][m][i]) for m in members}) > 1:
+                return False
+    return True
 
 
 def stack_proxies(proxies: Sequence[Dict[str, Any]],
                   bits_range: Sequence[int],
-                  arch: Optional[Dict] = None) -> StackedModel:
+                  arch: Optional[Dict] = None,
+                  fuse: str = "auto") -> StackedModel:
     """Fold per-bit quantized pytrees (quantize_model outputs) into a
-    StackedModel."""
+    StackedModel.
+
+    ``fuse``: 'auto' fuses q/k/v and gate/up into single kernel launches
+    when the arch's bits agree within each group (launch overhead on this
+    backend makes call count matter); 'never' keeps the 7 separate sites.
+    """
     base = proxies[-1]
     L = len(base["layers"])
+    do_fuse = fuse == "always" or (fuse == "auto" and _arch_fusable(arch, L))
+
+    site_names: Dict[str, Tuple[str, ...]] = (
+        {**FUSED_GROUPS, "self_attn.o_proj": ("self_attn.o_proj",),
+         "mlp.down_proj": ("mlp.down_proj",)} if do_fuse
+        else {n: (n,) for n in LINEAR_NAMES})
 
     sites: Dict[str, Tuple[StackedQuant, ...]] = {}
     biases: Dict[str, Optional[jnp.ndarray]] = {}
     select: Dict[str, jnp.ndarray] = {}
-    for name in LINEAR_NAMES:
+    for name, members in site_names.items():
         stacks = []
         for p in proxies:
-            qls = [p["layers"][i][name] for i in range(L)]
-            q0 = qls[0].qt
+            per_layer = []
+            for i in range(L):
+                qts = [p["layers"][i][m].qt for m in members]
+                per_layer.append(qts)
+            q0 = per_layer[0][0]
+            n_total = sum(q.shape[0] for q in per_layer[0])
             stacks.append(StackedQuant(
-                packed=jnp.stack([q.qt.packed for q in qls]),
-                scale=jnp.stack([q.qt.scale for q in qls]),
-                zero=jnp.stack([q.qt.zero for q in qls]),
-                nbits=q0.nbits, group_size=q0.group_size, shape=q0.shape))
+                packed=jnp.stack([jnp.concatenate(
+                    [q.packed for q in qts], axis=1) for qts in per_layer]),
+                scale=jnp.stack([jnp.concatenate(
+                    [q.scale for q in qts], axis=1) for qts in per_layer]),
+                zero=jnp.stack([jnp.concatenate(
+                    [q.zero for q in qts], axis=1) for qts in per_layer]),
+                nbits=q0.nbits, group_size=q0.group_size,
+                shape=(n_total, q0.shape[1]), superblock=q0.superblock))
         sites[name] = tuple(stacks)
-        b0 = base["layers"][0][name].bias
-        biases[name] = (None if b0 is None else
-                        jnp.stack([base["layers"][i][name].bias
-                                   for i in range(L)]))
+        b0 = base["layers"][0][members[0]].bias
+        if b0 is None:
+            biases[name] = None
+        else:
+            biases[name] = jnp.stack([
+                jnp.concatenate([base["layers"][i][m].bias for m in members])
+                for i in range(L)])
         if arch is None:
             sel = [len(bits_range) - 1] * L
         else:
-            sel = [list(bits_range).index(int(arch["linear"][name][i]))
+            sel = [list(bits_range).index(int(arch["linear"][members[0]][i]))
                    for i in range(L)]
         select[name] = jnp.asarray(sel, jnp.int32)
 
@@ -113,38 +161,97 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
         post_norm=jnp.stack([base["layers"][i]["post_norm"]
                              for i in range(L)]),
         sites=sites, biases=biases, select=select,
-        bits_range=tuple(bits_range), num_layers=L)
+        bits_range=tuple(bits_range), num_layers=L,
+        # only commit to the whole-layer-switch structure when built for a
+        # concrete layer-uniform arch (arch=None keeps per-site switching
+        # so set_arch may swap in any mixed assignment without retracing)
+        uniform_select=(arch is not None and _selectors_uniform(select)))
 
 
 def set_arch(model: StackedModel, arch: Dict) -> StackedModel:
     """New selector vectors for ``arch`` — same treedef, no retrace."""
+    fused = "self_attn.qkv_proj" in model.sites
+    if fused:
+        assert _arch_fusable(arch, model.num_layers), (
+            "arch mixes bits inside a fused q/k/v or gate/up group; "
+            "rebuild with stack_proxies(..., fuse='never')")
+    names = model.sites.keys()
+    rep = {**FUSED_GROUPS,
+           **{n: (n,) for n in LINEAR_NAMES}}
     select = {
-        name: jnp.asarray([model.bits_range.index(int(b))
-                           for b in arch["linear"][name]], jnp.int32)
-        for name in LINEAR_NAMES
+        name: jnp.asarray(
+            [model.bits_range.index(int(b))
+             for b in arch["linear"][rep[name][0]]], jnp.int32)
+        for name in names
     }
+    # uniform_select is a *structural* (static) property fixed at stack
+    # time; changing it would retrace, so archs must stay compatible
+    if model.uniform_select and not _selectors_uniform(select):
+        raise AssertionError(
+            "arch mixes bits across sites of a layer-uniform model; "
+            "rebuild with a per-site arch (stack_proxies(..., arch=...))")
     return dataclasses.replace(model, select=select)
 
 
-def _apply_site(model: StackedModel, name: str, i, x, compute_dtype):
-    """lax.switch over the per-bit stacks; only the chosen branch reads HBM."""
+def _apply_stack(stack: StackedQuant, i, x, compute_dtype):
+    """Apply layer ``i`` of one bit-stack (no switch).
+
+    With a kernel impl installed, the layer index goes into the Pallas
+    kernel as a scalar-prefetch BlockSpec index (DMA straight from the
+    stacked buffer); the XLA path dynamic-slices the layer instead.
+    """
     impl = linear_mod._KERNEL_IMPL
+    if impl is not None and stack.superblock:
+        from ..ops.quant_matmul import quant_matmul_indexed
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        out = quant_matmul_indexed(
+            x2, stack.packed, stack.scale, stack.zero, i,
+            nbits=stack.nbits, group_size=stack.group_size,
+            shape=stack.shape, superblock=stack.superblock,
+            acc_dtype=(jnp.bfloat16 if x.dtype == jnp.bfloat16
+                       else jnp.float32),
+            out_dtype=compute_dtype)
+        return out.reshape(*lead, stack.shape[0])
+    ql = QuantLinear(qt=stack.layer(i), bias=None)
+    if impl is not None:
+        return impl(ql, x, compute_dtype)
+    return linear_mod.apply_linear(ql, x, compute_dtype)
 
-    def make_branch(stack: StackedQuant):
-        def br(x):
-            qt = stack.layer(i)
-            ql = QuantLinear(qt=qt, bias=None)
-            if impl is not None:
-                return impl(ql, x, compute_dtype)
-            return linear_mod.apply_linear(ql, x, compute_dtype)
-        return br
 
-    y = jax.lax.switch(model.select[name][i],
-                       [make_branch(s) for s in model.sites[name]], x)
+def _apply_site(model: StackedModel, name: str, i, x, compute_dtype,
+                bit_idx: Optional[int] = None):
+    """One linear site of layer ``i``.
+
+    ``bit_idx`` static -> direct stack application (the caller hoisted the
+    bit decision, e.g. a per-layer switch); otherwise a lax.switch over
+    the per-bit stacks — only the chosen branch reads HBM.
+    """
+    if bit_idx is not None:
+        y = _apply_stack(model.sites[name][bit_idx], i, x, compute_dtype)
+    else:
+        y = jax.lax.switch(
+            model.select[name][i],
+            [(lambda s: lambda x: _apply_stack(s, i, x, compute_dtype))(s)
+             for s in model.sites[name]], x)
     if model.biases[name] is not None:
         y = y + jax.lax.dynamic_index_in_dim(
             model.biases[name], i, 0, False).astype(y.dtype)
     return y
+
+
+def _selectors_uniform(select: Dict[str, Any]) -> bool:
+    """Concrete (non-traced) check that all sites share one selector."""
+    sels = [np.asarray(s) for s in select.values()]
+    return all((s == sels[0]).all() for s in sels[1:])
+
+
+def layer_uniform(model: StackedModel) -> bool:
+    """True when every site shares one per-layer bit selector — the whole
+    decoder layer then sits under a single lax.switch (4x fewer conds;
+    conds cost ~10s of us each inside a scan on this backend).  Static
+    metadata: computed when the model/arch is built, never from tracers."""
+    return model.uniform_select
 
 
 def forward_stacked(
@@ -170,35 +277,48 @@ def forward_stacked(
     cos, sin = llama.rope_cos_sin(cfg, positions, dtype=compute_dtype)
     mask = llama._causal_mask(S, T, offset, cfg.sliding_window)
 
-    def layer_fn(carry, i):
-        x, k_all, v_all = carry
+    fused = "self_attn.qkv_proj" in model.sites
+    has_cache = cache is not None
+    uniform = layer_uniform(model)
+    first_site = next(iter(model.select))
+
+    # the KV cache rides the scan as xs/ys (per-layer slices in, updated
+    # slices out) — carrying the whole [L, ...] buffers and dynamic-updating
+    # one layer per step makes XLA copy the full cache every layer
+    def layer_body(i, x, k_buf, v_buf, bit_idx):
         h = llama.rms_norm(
             x, jax.lax.dynamic_index_in_dim(model.input_norm, i, 0, False),
             cfg.rms_norm_eps)
-        q = _apply_site(model, "self_attn.q_proj", i, h, compute_dtype)
-        k = _apply_site(model, "self_attn.k_proj", i, h, compute_dtype)
-        v = _apply_site(model, "self_attn.v_proj", i, h, compute_dtype)
+        if fused:
+            qkv = _apply_site(model, "self_attn.qkv_proj", i, h,
+                              compute_dtype, bit_idx)
+            q = qkv[..., :cfg.q_dim]
+            k = qkv[..., cfg.q_dim:cfg.q_dim + cfg.kv_dim]
+            v = qkv[..., cfg.q_dim + cfg.kv_dim:]
+        else:
+            q = _apply_site(model, "self_attn.q_proj", i, h, compute_dtype,
+                            bit_idx)
+            k = _apply_site(model, "self_attn.k_proj", i, h, compute_dtype,
+                            bit_idx)
+            v = _apply_site(model, "self_attn.v_proj", i, h, compute_dtype,
+                            bit_idx)
         q = llama.apply_rope(q.reshape(B, S, cfg.num_heads, hd), cos, sin)
         k = llama.apply_rope(k.reshape(B, S, cfg.num_kv_heads, hd), cos, sin)
         v = v.reshape(B, S, cfg.num_kv_heads, hd)
 
-        if k_all is not None:
-            k_buf = jax.lax.dynamic_index_in_dim(k_all, i, 0, False)
-            v_buf = jax.lax.dynamic_index_in_dim(v_all, i, 0, False)
+        if has_cache:
             k_buf = jax.lax.dynamic_update_slice_in_dim(
                 k_buf, k.astype(k_buf.dtype), offset, axis=1)
             v_buf = jax.lax.dynamic_update_slice_in_dim(
                 v_buf, v.astype(v_buf.dtype), offset, axis=1)
-            k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_buf, i, 0)
-            v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_buf, i, 0)
             k_att = k_buf.astype(compute_dtype)
             v_att = v_buf.astype(compute_dtype)
         else:
             k_att, v_att = k, v
-
         att = llama._attention(q, k_att, v_att, mask, compute_dtype)
         att = att.reshape(B, S, cfg.num_heads * hd)
-        o = _apply_site(model, "self_attn.o_proj", i, att, compute_dtype)
+        o = _apply_site(model, "self_attn.o_proj", i, att, compute_dtype,
+                        bit_idx)
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
         x = x + o
@@ -206,20 +326,49 @@ def forward_stacked(
         h = llama.rms_norm(
             x, jax.lax.dynamic_index_in_dim(model.post_norm, i, 0, False),
             cfg.rms_norm_eps)
-        gate = _apply_site(model, "mlp.gate_proj", i, h, compute_dtype)
-        up = _apply_site(model, "mlp.up_proj", i, h, compute_dtype)
+        if fused:
+            gu = _apply_site(model, "mlp.gateup_proj", i, h, compute_dtype,
+                             bit_idx)
+            gate = gu[..., :cfg.intermediate_size]
+            up = gu[..., cfg.intermediate_size:]
+        else:
+            gate = _apply_site(model, "mlp.gate_proj", i, h, compute_dtype,
+                               bit_idx)
+            up = _apply_site(model, "mlp.up_proj", i, h, compute_dtype,
+                             bit_idx)
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(compute_dtype) * up
-        down = _apply_site(model, "mlp.down_proj", i, act, compute_dtype)
+        down = _apply_site(model, "mlp.down_proj", i, act, compute_dtype,
+                           bit_idx)
         if tp_axis is not None:
             down = jax.lax.psum(down, tp_axis)
         x = x + down
-        return (x, k_all, v_all), None
+        return x, k_buf, v_buf
 
-    k_all = cache.k if cache is not None else None
-    v_all = cache.v if cache is not None else None
-    (x, k_all, v_all), _ = jax.lax.scan(
-        layer_fn, (x, k_all, v_all),
-        jnp.arange(model.num_layers, dtype=jnp.int32))
+    def layer_fn(x, xs):
+        if has_cache:
+            i, k_buf, v_buf = xs
+        else:
+            i = xs
+            k_buf = v_buf = None
+        if uniform:
+            # one switch wraps the whole layer (cond overhead is per
+            # occurrence inside the scan; per-site switching costs 4x)
+            x, k_buf, v_buf = jax.lax.switch(
+                model.select[first_site][i],
+                [(lambda b: lambda op: layer_body(op[0], op[1], op[2],
+                                                  op[3], b))(b)
+                 for b in range(len(model.bits_range))],
+                (i, x, k_buf, v_buf))
+        else:
+            x, k_buf, v_buf = layer_body(i, x, k_buf, v_buf, None)
+        return x, ((k_buf, v_buf) if has_cache else None)
+
+    layer_idx = jnp.arange(model.num_layers, dtype=jnp.int32)
+    if has_cache:
+        x, (k_all, v_all) = jax.lax.scan(
+            layer_fn, x, (layer_idx, cache.k, cache.v))
+    else:
+        x, _ = jax.lax.scan(layer_fn, x, layer_idx)
 
     x = llama.rms_norm(x, model.final_norm, cfg.rms_norm_eps)
     head = model.lm_head if model.lm_head is not None else model.embed

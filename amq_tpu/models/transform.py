@@ -32,8 +32,13 @@ def uniform_arch(cfg: ModelConfig, bits: int) -> Arch:
 
 def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
                    arch_or_bits, group_size: int = 128,
-                   optimize: bool = True) -> Dict[str, Any]:
-    """Quantize every decoder linear; embeddings/norms/lm_head stay dense."""
+                   optimize: bool = True,
+                   superblock: int = 0) -> Dict[str, Any]:
+    """Quantize every decoder linear; embeddings/norms/lm_head stay dense.
+
+    ``superblock`` caps the planar packing block (pass the tensor-parallel
+    shard granularity when the model will be K-sharded).
+    """
     arch = (uniform_arch(cfg, arch_or_bits)
             if isinstance(arch_or_bits, int) else arch_or_bits)
     out = dict(params)
@@ -44,7 +49,8 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
             p = layer[name]
             assert isinstance(p, DenseLinear), (name, type(p))
             qt = qcore.quantize(p.weight, nbits=int(arch["linear"][name][i]),
-                                group_size=group_size, optimize=optimize)
+                                group_size=group_size, optimize=optimize,
+                                superblock=superblock or None)
             new_layer[name] = QuantLinear(qt=qt, bias=p.bias)
         out_layers.append(new_layer)
     out["layers"] = out_layers

@@ -44,48 +44,43 @@ def _pick_tile(dim: int, candidates) -> int:
 
 def _unpack_plane(w, shift, nbits):
     mask = jnp.uint32(2**nbits - 1)
-    return ((w >> jnp.uint32(shift)) & mask).astype(jnp.int32)
+    return (w >> jnp.uint32(shift)) & mask
 
 
-def _dequant_group_to_scratch(scratch, w_blk, s_row, z_row, t, nbits,
-                              group_size, acc_dtype):
-    """Unpack one group's packed rows into scratch[t*g:(t+1)*g, :]."""
-    g = group_size
+def _dequant_tile(w_blk, s_blk, z_blk, nbits, group_size, T, bn, acc_dtype):
+    """Unpack+dequantize one superblock tile ``[sb, bn]`` with full-slab ops.
+
+    The packing is planar over the whole superblock (bitpack.pack with the
+    superblock as its block), so shift plane j of the ENTIRE packed tile
+    is the contiguous value chunk ``[j*R:(j+1)*R]`` — every extraction is
+    one full-block vector op and the concat is in natural K order.  (The
+    earlier per-128-group layout needed sub-sublane-tile slices; on v5e
+    that made 3-bit unpack ~7x slower than 4-bit.)
+    """
+    s = s_blk.reshape(T, 1, bn).astype(acc_dtype)
+    z = z_blk.reshape(T, 1, bn).astype(acc_dtype)
+    sb = T * group_size
+
+    def extract(block, b):
+        vpw = 32 // b
+        planes = [_unpack_plane(block, b * (vpw - 1 - j), b)
+                  for j in range(vpw)]
+        return jnp.concatenate(planes, axis=0)             # [sb, bn]
+
     if nbits == 3:
-        hi_rows = packed_rows(g, 2)   # 2-bit plane rows
-        lo_rows = packed_rows(g, 1)   # 1-bit plane rows
-        base = t * (hi_rows + lo_rows)
-        hi = w_blk[base:base + hi_rows, :]
-        lo = w_blk[base + hi_rows:base + hi_rows + lo_rows, :]
-        # natural order c[j] for j = i*sub + r requires assembling both
-        # planes at their own strides, then recombining
-        for i in range(16):  # 2-bit: 16 vals/word
-            shift = 2 * (16 - 1 - i)
-            part = _unpack_plane(hi, shift, 2) << 1
-            scratch[t * g + i * hi_rows:t * g + (i + 1) * hi_rows, :] = (
-                part.astype(acc_dtype))
-        for i in range(32):  # 1-bit: 32 vals/word
-            shift = (32 - 1 - i)
-            part = _unpack_plane(lo, shift, 1)
-            rows = lo_rows
-            sl = slice(t * g + i * rows, t * g + (i + 1) * rows)
-            scratch[sl, :] = ((scratch[sl, :]).astype(jnp.int32)
-                              + part).astype(acc_dtype)
-        sl = slice(t * g, (t + 1) * g)
-        scratch[sl, :] = ((scratch[sl, :] - z_row) * s_row).astype(acc_dtype)
+        hi_rows = packed_rows(sb, 2)
+        hi = extract(w_blk[:hi_rows, :], 2)                # (codes >> 1)
+        lo = extract(w_blk[hi_rows:, :], 1)                # (codes & 1)
+        codes = (hi << 1) | lo
     else:
-        rows = packed_rows(g, nbits)
-        vals_per_word = 32 // nbits
-        base = t * rows
-        wt = w_blk[base:base + rows, :]
-        for i in range(vals_per_word):
-            shift = nbits * (vals_per_word - 1 - i)
-            c = _unpack_plane(wt, shift, nbits).astype(acc_dtype)
-            scratch[t * g + i * rows:t * g + (i + 1) * rows, :] = (
-                (c - z_row) * s_row)
+        codes = extract(w_blk, nbits)
+
+    codes = codes.reshape(T, group_size, bn)
+    # Mosaic has no uint32 -> bf16 cast; hop through int32
+    return ((codes.astype(jnp.int32).astype(acc_dtype) - z) * s)
 
 
-def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
+def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref,
                 *, nbits, group_size, groups_per_tile, acc_dtype):
     k = pl.program_id(2)
 
@@ -93,23 +88,24 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    # scale/zero blocks carry the full K/g rows (their per-k-tile row count
-    # can be < 8, which Mosaic's sublane tiling rejects); index by k here
-    row0 = k * groups_per_tile
-    for t in range(groups_per_tile):
-        s_row = s_ref[row0 + t, :][None, :].astype(acc_dtype)
-        z_row = z_ref[row0 + t, :][None, :].astype(acc_dtype)
-        _dequant_group_to_scratch(scratch, w_ref, s_row, z_row, t, nbits,
-                                  group_size, acc_dtype)
-
-    o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype), scratch[:],
+    # scale/zero arrive pre-reshaped [n_ktiles, T, N] with a unit-block
+    # leading dim (a dynamic row slice of [K/g, N] is not provably
+    # sublane-aligned for T < 8)
+    T = groups_per_tile
+    bn = o_ref.shape[1]
+    s_blk = s_ref[0]
+    z_blk = z_ref[0]
+    deq = _dequant_tile(w_ref[:], s_blk, z_blk, nbits, group_size, T, bn,
+                        acc_dtype)
+    o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype),
+                        deq.reshape(T * group_size, bn),
                         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nbits", "group_size", "shape", "block_m", "block_n",
-                     "block_k", "acc_dtype", "out_dtype"))
+    static_argnames=("nbits", "group_size", "shape", "superblock", "block_m",
+                     "block_n", "block_k", "acc_dtype", "out_dtype"))
 def _quant_matmul_packed(
     x: jnp.ndarray,        # [M, K]
     packed: jnp.ndarray,   # [K*b/32, N] uint32
@@ -119,6 +115,7 @@ def _quant_matmul_packed(
     nbits: int,
     group_size: int,
     shape,                 # (out, in) == (N, K)
+    superblock: int = 0,
     block_m: Optional[int] = None,
     block_n: Optional[int] = None,
     block_k: Optional[int] = None,
@@ -131,12 +128,13 @@ def _quant_matmul_packed(
     g = group_size
 
     bm = block_m or (M if M <= 8 else _pick_tile(M, (256, 128, 64, 32, 16, 8)))
-    bn = block_n or _pick_tile(N, (512, 256, 128))
-    bk = block_k or _pick_tile(K, (1024, 512, 256, 128))
+    bn = block_n or _pick_tile(N, (1024, 512, 256, 128))
+    # the K tile must equal the planar packing block
+    bk = superblock or block_k or _pick_tile(K, (1024, 512, 256, 128))
+    assert block_k in (None, bk), (block_k, bk)
     assert bk % g == 0, (bk, g)
     groups_per_tile = bk // g
-    rows_per_group = packed_rows(g, nbits)
-    rows_per_tile = groups_per_tile * rows_per_group
+    rows_per_tile = packed_rows(bk, nbits)
 
     # pad M up to the fp32 sublane tile
     m_pad = -M % max(bm, 8)
@@ -149,6 +147,9 @@ def _quant_matmul_packed(
         _qmm_kernel, nbits=nbits, group_size=g,
         groups_per_tile=groups_per_tile, acc_dtype=acc_dtype)
 
+    scale3 = scale.reshape(K // bk, groups_per_tile, N)
+    zero3 = zero.reshape(K // bk, groups_per_tile, N)
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -157,15 +158,14 @@ def _quant_matmul_packed(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_per_tile, bn), lambda m, n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K // g, bn), lambda m, n, k: (0, n),
+            pl.BlockSpec((1, groups_per_tile, bn), lambda m, n, k: (k, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K // g, bn), lambda m, n, k: (0, n),
+            pl.BlockSpec((1, groups_per_tile, bn), lambda m, n, k: (k, 0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bk, bn), acc_dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -175,21 +175,129 @@ def _quant_matmul_packed(
             + M * N * 4,
             transcendentals=0,
         ),
-    )(x, packed, scale, zero)
+    )(x, packed, scale3, zero3)
+    return out[:M]
+
+
+def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
+                        *, nbits, group_size, groups_per_tile, acc_dtype):
+    del idx_ref  # consumed by the index maps
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    T = groups_per_tile
+    bn = o_ref.shape[1]
+    deq = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
+                        group_size, T, bn, acc_dtype)
+    o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype),
+                        deq.reshape(T * group_size, bn),
+                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbits", "group_size", "shape", "superblock",
+                     "block_n", "acc_dtype", "out_dtype"))
+def quant_matmul_indexed(
+    x: jnp.ndarray,              # [M, K]
+    packed_stack: jnp.ndarray,   # [L, K*b/32, N]
+    scale_stack: jnp.ndarray,    # [L, K/g, N]
+    zero_stack: jnp.ndarray,     # [L, K/g, N]
+    layer: jnp.ndarray,          # scalar int32
+    *,
+    nbits: int,
+    group_size: int,
+    shape,                       # (N, K)
+    superblock: int,
+    block_n: Optional[int] = None,
+    acc_dtype=jnp.float32,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Fused dequant-matmul against layer ``layer`` of a stacked weight.
+
+    The layer index is a *scalar-prefetch* argument consumed by the
+    BlockSpec index maps, so the kernel DMAs the selected layer's blocks
+    straight out of the stacked HBM buffer — a host-side
+    ``dynamic_index_in_dim`` would materialize an HBM->HBM copy of the
+    whole layer first (measured ~2x decode slowdown).
+    """
+    N, K = shape
+    L = packed_stack.shape[0]
+    M = x.shape[0]
+    out_dtype = out_dtype or x.dtype
+    g = group_size
+    bk = superblock
+    bn = block_n or _pick_tile(N, (1024, 512, 256, 128))
+    T = bk // g
+    rows_per_tile = packed_rows(bk, nbits)
+
+    m_pad = -M % 8
+    bm = M + m_pad if M <= 8 else _pick_tile(M, (256, 128, 64, 32, 16, 8))
+    if m_pad and M <= 8:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    grid = (x.shape[0] // bm, N // bn, K // bk)
+
+    kernel = functools.partial(
+        _qmm_kernel_stacked, nbits=nbits, group_size=g,
+        groups_per_tile=T, acc_dtype=acc_dtype)
+
+    scale4 = scale_stack.reshape(L, K // bk, T, N)
+    zero4 = zero_stack.reshape(L, K // bk, T, N)
+    idx = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k, idx: (m, k)),
+            pl.BlockSpec((1, rows_per_tile, bn),
+                         lambda m, n, k, idx: (idx[0], k, n)),
+            pl.BlockSpec((1, 1, T, bn),
+                         lambda m, n, k, idx: (idx[0], k, 0, n)),
+            pl.BlockSpec((1, 1, T, bn),
+                         lambda m, n, k, idx: (idx[0], k, 0, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, idx: (m, n)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=(K * nbits // 8) * N + M * K * x.dtype.itemsize
+            + M * N * 4,
+            transcendentals=0,
+        ),
+    )(idx, x, packed_stack, scale4, zero4)
     return out[:M]
 
 
 def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
-                 out_dtype=None, acc_dtype=jnp.float32) -> jnp.ndarray:
-    """``x @ W_dequant.T`` with W in packed form.  x: [..., K] -> [..., N]."""
+                 out_dtype=None, acc_dtype=None) -> jnp.ndarray:
+    """``x @ W_dequant.T`` with W in packed form.  x: [..., K] -> [..., N].
+
+    ``acc_dtype`` is the dequantized-weight/matmul-input dtype (bf16 when x
+    is bf16 — MXU-native, accumulation stays f32); the matmul accumulates
+    in f32 either way.
+    """
     lead = x.shape[:-1]
     K = x.shape[-1]
     assert K == qt.in_features, (x.shape, qt.shape)
+    if acc_dtype is None:
+        acc_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     x2 = x.reshape(-1, K)
     out = _quant_matmul_packed(
         x2, qt.packed, qt.scale, qt.zero,
         nbits=qt.nbits, group_size=qt.group_size,
-        shape=qt.shape, acc_dtype=acc_dtype, out_dtype=out_dtype)
+        shape=qt.shape, superblock=qt.superblock_,
+        acc_dtype=acc_dtype, out_dtype=out_dtype)
     return out.reshape(*lead, qt.out_features)
 
 

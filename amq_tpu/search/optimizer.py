@@ -169,7 +169,8 @@ class Search:
         archive = [tuple(x) for x in blob["archive"] + blob["candidates"]]
         return archive, blob["iteration"] + 1
 
-    def _checkpoint(self, it, archive, hv, predictor, stats):
+    def _checkpoint(self, it, archive, hv, predictor, stats,
+                    cand_pred=None):
         os.makedirs(self.save_path, exist_ok=True)
         path = os.path.join(self.save_path, f"iter_{it}.stats")
         with open(path, "w") as f:
@@ -185,6 +186,36 @@ class Search:
                 },
                 "iteration": it,
             }, f)
+        self._scatter_png(it, archive, cand_pred)
+
+    def _scatter_png(self, it, archive, cand_pred):
+        """Pareto scatter per checkpoint (optimizer.py:173-187)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+        except Exception:
+            return
+        fig, axe = plt.subplots(1, 1, figsize=(5, 5))
+        bits = np.array([x[2] for x in archive])
+        metric = np.array([x[1] for x in archive])
+        axe.scatter(bits, metric, s=5, facecolors="none", edgecolors="b",
+                    label="archive")
+        cand = archive[-self.n_iter:]
+        axe.scatter([x[2] for x in cand], [x[1] for x in cand], s=10,
+                    color="r", label="candidates evaluated")
+        if cand_pred is not None and len(cand_pred) == len(cand):
+            axe.scatter([x[2] for x in cand],
+                        np.asarray(cand_pred).reshape(-1), s=10,
+                        facecolors="none", edgecolors="g",
+                        label="candidates predicted")
+        axe.legend()
+        axe.grid(c="0.8")
+        axe.set_xlabel("avg bits")
+        axe.set_ylabel("loss")
+        fig.tight_layout()
+        fig.savefig(os.path.join(self.save_path, f"iter_{it}.png"))
+        plt.close(fig)
 
     # ------------------------------------------------------------------
 
@@ -227,7 +258,7 @@ class Search:
                 self._checkpoint(it, archive, hv, predictor, {
                     "rmse": rmse, "rho": rho, "tau": tau,
                     "total_time": iter_time,
-                })
+                }, cand_pred=cand_pred)
 
         self._log(f"total time elapsed : {time.time() - total_start:.2f}s")
         return archive

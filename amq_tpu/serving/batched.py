@@ -1,0 +1,245 @@
+"""Slot-batched decoding: per-sequence cache lengths for continuous batching.
+
+The single-sequence engine carries one scalar cache length; continuous
+batching needs every slot at its own position.  This module provides:
+
+* :class:`SlotCache` — KV buffers ``[L, B, T, kv, hd]`` + ``lengths [B]``,
+* :func:`prefill_slot` — run one prompt (batch 1) and scatter its KV into
+  a slot (jitted per bucketed prompt length),
+* :func:`decode_step` — one token for ALL slots: per-slot rope positions,
+  per-slot causal masks, per-slot cache writes (vmapped scatter); idle
+  slots are masked no-ops,
+* :class:`SlotEngine` — ties the above to the C++/Python batching
+  scheduler for a run-to-completion serving loop.
+
+The reference has no analogue (its serving path is single-request
+``generate``, ftllama_generate.py); this is the "continuous batching
+across hosts" BASELINE requirement's single-host core.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..models.config import ModelConfig
+from ..models.linear import kernel_linears
+from ..models.stacked import StackedModel, forward_stacked, _apply_site
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SlotCache:
+    k: jnp.ndarray        # [L, B, T, kv, hd]
+    v: jnp.ndarray
+    lengths: jnp.ndarray  # [B] int32
+
+    @classmethod
+    def create(cls, cfg: ModelConfig, n_slots: int, max_len: int,
+               dtype=jnp.bfloat16) -> "SlotCache":
+        shape = (cfg.num_layers, n_slots, max_len, cfg.num_kv_heads,
+                 cfg.head_dim_)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   lengths=jnp.zeros((n_slots,), jnp.int32))
+
+
+def _model_forward(model, cfg, tokens, cache: Optional[llama.KVCache],
+                   compute_dtype):
+    if isinstance(model, StackedModel):
+        return forward_stacked(model, cfg, tokens, cache=cache,
+                               compute_dtype=compute_dtype)
+    return llama.forward(model, cfg, tokens, cache=cache,
+                         compute_dtype=compute_dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg", "slot_len", "compute_dtype", "impl"))
+def prefill_slot(model, cfg: ModelConfig, tokens: jnp.ndarray,  # [1, S] padded
+                 true_len: jnp.ndarray,   # scalar int32, <= S
+                 cache: SlotCache, slot: jnp.ndarray,
+                 slot_len: int, compute_dtype=jnp.bfloat16,
+                 impl=None):
+    """Prefill one slot from a right-padded prompt bucket.
+
+    Causality makes right-padding exact: real positions never attend the
+    pad tail, the next token is read at ``true_len - 1``, and the slot
+    length masks the pad KV entries out of later decode steps.
+    """
+    S = tokens.shape[1]
+    assert S == slot_len
+    tmp = llama.KVCache(
+        k=jnp.zeros_like(cache.k[:, :1, :S]),
+        v=jnp.zeros_like(cache.v[:, :1, :S]),
+        length=jnp.int32(0))
+    with kernel_linears(impl):
+        logits, tmp = _model_forward(model, cfg, tokens, tmp, compute_dtype)
+    k = jax.lax.dynamic_update_slice(
+        cache.k, tmp.k, (0, slot, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, tmp.v, (0, slot, 0, 0, 0))
+    lengths = cache.lengths.at[slot].set(true_len)
+    last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1, 0, False)
+    nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)[None]
+    return nxt, SlotCache(k=k, v=v, lengths=lengths)
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "impl"))
+def decode_step(model: StackedModel, cfg: ModelConfig,
+                tokens: jnp.ndarray,        # [B] int32 (one per slot)
+                active: jnp.ndarray,        # [B] bool
+                cache: SlotCache,
+                compute_dtype=jnp.bfloat16,
+                impl=None):
+    """One decode token for every active slot.  Returns (next [B], cache)."""
+    B = tokens.shape[0]
+    T = cache.k.shape[2]
+    hd = cfg.head_dim_
+
+    x = model.embed[tokens][:, None, :].astype(compute_dtype)  # [B, 1, H]
+    positions = cache.lengths[:, None]                          # [B, 1]
+    cos, sin = llama.rope_cos_sin(cfg, positions, dtype=compute_dtype)
+
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    ok = k_pos <= positions                                     # [B, T]
+    mask = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
+
+    fused = "self_attn.qkv_proj" in model.sites
+
+    def write(buf, new, pos):
+        # buf [B, T, kv, hd]; new [B, 1, kv, hd]; pos [B]
+        return jax.vmap(
+            lambda b, n, p: jax.lax.dynamic_update_slice_in_dim(b, n, p, 0)
+        )(buf, new, pos)
+
+    def layer_fn(x, xs):
+        i, k_buf, v_buf = xs
+        h = llama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(model.input_norm, i, 0, False),
+            cfg.rms_norm_eps)
+        if fused:
+            qkv = _apply_site(model, "self_attn.qkv_proj", i, h,
+                              compute_dtype)
+            q = qkv[..., :cfg.q_dim]
+            kk = qkv[..., cfg.q_dim:cfg.q_dim + cfg.kv_dim]
+            vv = qkv[..., cfg.q_dim + cfg.kv_dim:]
+        else:
+            q = _apply_site(model, "self_attn.q_proj", i, h, compute_dtype)
+            kk = _apply_site(model, "self_attn.k_proj", i, h, compute_dtype)
+            vv = _apply_site(model, "self_attn.v_proj", i, h, compute_dtype)
+        q = llama.apply_rope(q.reshape(B, 1, cfg.num_heads, hd), cos, sin)
+        kk = llama.apply_rope(kk.reshape(B, 1, cfg.num_kv_heads, hd), cos, sin)
+        vv = vv.reshape(B, 1, cfg.num_kv_heads, hd)
+
+        k_buf = write(k_buf, kk.astype(k_buf.dtype), cache.lengths)
+        v_buf = write(v_buf, vv.astype(v_buf.dtype), cache.lengths)
+
+        att = llama._attention(q, k_buf.astype(compute_dtype),
+                               v_buf.astype(compute_dtype), mask,
+                               compute_dtype)
+        att = att.reshape(B, 1, cfg.num_heads * hd)
+        o = _apply_site(model, "self_attn.o_proj", i, att, compute_dtype)
+        x = x + o
+
+        h = llama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(model.post_norm, i, 0, False),
+            cfg.rms_norm_eps)
+        if fused:
+            gu = _apply_site(model, "mlp.gateup_proj", i, h, compute_dtype)
+            gate = gu[..., :cfg.intermediate_size]
+            up = gu[..., cfg.intermediate_size:]
+        else:
+            gate = _apply_site(model, "mlp.gate_proj", i, h, compute_dtype)
+            up = _apply_site(model, "mlp.up_proj", i, h, compute_dtype)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(compute_dtype) * up
+        down = _apply_site(model, "mlp.down_proj", i, act, compute_dtype)
+        x = x + down
+        return x, (k_buf, v_buf)
+
+    with kernel_linears(impl):
+        x, (k_all, v_all) = jax.lax.scan(
+            layer_fn, x,
+            (jnp.arange(model.num_layers, dtype=jnp.int32),
+             cache.k, cache.v))
+
+    x = llama.rms_norm(x, model.final_norm, cfg.rms_norm_eps)
+    head = model.lm_head if model.lm_head is not None else model.embed
+    logits = jnp.dot(x[:, 0], head.T.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    lengths = jnp.where(active, cache.lengths + 1, cache.lengths)
+    return nxt, SlotCache(k=k_all, v=v_all, lengths=lengths)
+
+
+class SlotEngine:
+    """Continuous-batching serving loop over a StackedModel."""
+
+    def __init__(self, model: StackedModel, cfg: ModelConfig,
+                 n_slots: int = 4, max_len: int = 2048,
+                 compute_dtype=jnp.bfloat16, use_pallas: bool = True,
+                 prefill_buckets=(32, 64, 128, 256, 512, 1024, 2048)):
+        from .engine import pallas_linear_impl
+        self.model = model
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.max_len = max_len
+        self.compute_dtype = compute_dtype
+        self.impl = pallas_linear_impl if use_pallas else None
+        self.buckets = tuple(sorted(prefill_buckets))
+        self.cache = SlotCache.create(cfg, n_slots, max_len,
+                                      dtype=compute_dtype)
+        self.next_token = np.zeros(n_slots, np.int32)
+
+    def _bucket(self, S: int) -> int:
+        for b in self.buckets:
+            if S <= b:
+                return b
+        raise ValueError(f"prompt too long: {S} > {self.buckets[-1]}")
+
+    def prefill(self, slot: int, prompt: np.ndarray):
+        S = len(prompt)
+        bucket = self._bucket(S)
+        padded = np.zeros(bucket, np.int32)
+        padded[:S] = prompt  # right-pad (exact under causal masking)
+        nxt, self.cache = prefill_slot(
+            self.model, self.cfg, jnp.asarray(padded)[None],
+            jnp.int32(S), self.cache, jnp.int32(slot), slot_len=bucket,
+            compute_dtype=self.compute_dtype, impl=self.impl)
+        self.next_token[slot] = int(nxt[0])
+
+    def step(self, active_mask: np.ndarray) -> np.ndarray:
+        nxt, self.cache = decode_step(
+            self.model, self.cfg, jnp.asarray(self.next_token),
+            jnp.asarray(active_mask), self.cache,
+            compute_dtype=self.compute_dtype, impl=self.impl)
+        out = np.asarray(nxt)
+        self.next_token = np.where(active_mask, out, self.next_token)
+        return out
+
+    def run(self, batcher, max_steps: int = 10_000) -> Dict[int, List[int]]:
+        """Drive requests from a ContinuousBatcher to completion."""
+        results: Dict[int, List[int]] = {}
+        steps = 0
+        while batcher.has_work() and steps < max_steps:
+            for slot, req in batcher.fill_slots():
+                self.prefill(slot, req.prompt)
+                # the prefill's prediction is the first generated token
+                req.generated.append(int(self.next_token[slot]))
+                if len(req.generated) >= req.max_new_tokens:
+                    req.done = True
+                    batcher.slots[slot] = None
+                    results[req.uid] = req.generated
+            active = np.array([s is not None for s in batcher.slots])
+            if not active.any():
+                break
+            toks = self.step(active)
+            for req in batcher.step_bookkeeping(
+                    np.where(active, toks, -1)):
+                results[req.uid] = req.generated
+            steps += 1
+        return results

@@ -48,7 +48,8 @@ def save_quantized(params: Dict[str, Any], cfg: ModelConfig, path: str,
                 put(f"{base}.zero", p.qt.zero)
                 lman[name] = {"kind": "quant", "nbits": p.qt.nbits,
                               "group_size": p.qt.group_size,
-                              "shape": list(p.qt.shape)}
+                              "shape": list(p.qt.shape),
+                              "superblock": p.qt.superblock_}
             else:
                 put(f"{base}.weight", p.weight)
                 lman[name] = {"kind": "dense"}
@@ -94,7 +95,8 @@ def load_quantized(path: str, dtype=jnp.float32) -> tuple[Dict[str, Any], ModelC
                     scale=get(f"{base}.scale"),
                     zero=get(f"{base}.zero"),
                     nbits=m["nbits"], group_size=m["group_size"],
-                    shape=tuple(m["shape"]))
+                    shape=tuple(m["shape"]),
+                    superblock=m.get("superblock", m["group_size"]))
                 layer[name] = QuantLinear(qt=qt, bias=bias)
             else:
                 layer[name] = DenseLinear(weight=get(f"{base}.weight"),

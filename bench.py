@@ -31,7 +31,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from amq_tpu.core.bitpack import packed_rows  # noqa: E402
+from amq_tpu.core.bitpack import packed_rows, pick_superblock  # noqa: E402
 from amq_tpu.models import get_config  # noqa: E402
 from amq_tpu.models.config import LINEAR_NAMES  # noqa: E402
 from amq_tpu.models.llama import KVCache  # noqa: E402
@@ -51,17 +51,28 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _bench_sites(cfg):
+    """Fused serving sites: q/k/v and gate/up are single kernel launches."""
+    return {
+        "self_attn.qkv_proj": (cfg.q_dim + 2 * cfg.kv_dim, cfg.hidden_size),
+        "self_attn.o_proj": (cfg.hidden_size, cfg.q_dim),
+        "mlp.gateup_proj": (2 * cfg.intermediate_size, cfg.hidden_size),
+        "mlp.down_proj": (cfg.hidden_size, cfg.intermediate_size),
+    }
+
+
 def random_stacked_model(cfg, rng) -> StackedModel:
     """Synthetic packed model, generated ON DEVICE (host->device transfer of
     ~9 GB over the axon tunnel takes tens of minutes; jax.random on-chip
-    takes seconds)."""
+    takes seconds).  Bit assignment: layer-uniform 2/3/4 cycle -> mean
+    exactly 3 bits, q/k/v and gate/up groups share bits (fused kernels)."""
     L, H = cfg.num_layers, cfg.hidden_size
+    site_shapes = _bench_sites(cfg)
 
     @jax.jit
     def gen(key):
         out = {}
-        for j, name in enumerate(LINEAR_NAMES):
-            N, K = cfg.linear_shape(name)
+        for name, (N, K) in site_shapes.items():
             for b in BITS_RANGE:
                 key, k1, k2, k3 = jax.random.split(key, 4)
                 rows = K * b // 32
@@ -80,18 +91,18 @@ def random_stacked_model(cfg, rng) -> StackedModel:
 
     arrs = gen(jax.random.PRNGKey(0))
     sites, biases, select = {}, {}, {}
-    for j, name in enumerate(LINEAR_NAMES):
-        N, K = cfg.linear_shape(name)
+    for name, (N, K) in site_shapes.items():
+        sb = pick_superblock(K, GROUP)
         sites[name] = tuple(
             StackedQuant(packed=arrs[f"{name}/{b}/packed"],
                          scale=arrs[f"{name}/{b}/scale"],
                          zero=arrs[f"{name}/{b}/zero"],
-                         nbits=b, group_size=GROUP, shape=(N, K))
+                         nbits=b, group_size=GROUP, shape=(N, K),
+                         superblock=sb)
             for b in BITS_RANGE)
         biases[name] = None
-        # cycle 2/3/4 across layers -> mean exactly 3 bits
         select[name] = jnp.asarray(
-            [(i + j) % len(BITS_RANGE) for i in range(L)], jnp.int32)
+            [i % len(BITS_RANGE) for i in range(L)], jnp.int32)
 
     return StackedModel(
         embed=arrs["embed"], final_norm=jnp.ones((H,), jnp.bfloat16),
@@ -99,16 +110,15 @@ def random_stacked_model(cfg, rng) -> StackedModel:
         input_norm=jnp.ones((L, H), jnp.bfloat16),
         post_norm=jnp.ones((L, H), jnp.bfloat16),
         sites=sites, biases=biases, select=select,
-        bits_range=BITS_RANGE, num_layers=L)
+        bits_range=BITS_RANGE, num_layers=L, uniform_select=True)
 
 
 def weight_bytes_per_token(cfg) -> float:
     """HBM bytes touched per decode token (packed weights + scale/zero)."""
     total = 0.0
-    for j, name in enumerate(LINEAR_NAMES):
-        N, K = cfg.linear_shape(name)
+    for name, (N, K) in _bench_sites(cfg).items():
         for i in range(cfg.num_layers):
-            b = BITS_RANGE[(i + j) % len(BITS_RANGE)]
+            b = BITS_RANGE[i % len(BITS_RANGE)]
             total += K * N * b / 8 + (K // GROUP) * N * 2 * 4
     total += 2 * cfg.vocab_size * cfg.hidden_size * 2  # embed + head bf16
     return total

@@ -30,6 +30,30 @@ def test_matches_reference(nbits, M):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("nbits", [2, 3, 4])
+def test_indexed_stacked_matches_per_layer(nbits):
+    from amq_tpu.ops.quant_matmul import quant_matmul_indexed
+
+    rng = np.random.default_rng(2)
+    L, N, K = 3, 256, 512
+    qts = [q.quantize(jnp.asarray(rng.normal(size=(N, K)).astype(np.float32)),
+                      nbits=nbits) for _ in range(L)]
+    packed = jnp.stack([t.packed for t in qts])
+    scale = jnp.stack([t.scale for t in qts])
+    zero = jnp.stack([t.zero for t in qts])
+    x = jnp.asarray(rng.normal(size=(1, K)).astype(np.float32))
+
+    for i in range(L):
+        with pltpu.force_tpu_interpret_mode():
+            got = quant_matmul_indexed(
+                x, packed, scale, zero, jnp.int32(i),
+                nbits=nbits, group_size=128, shape=(N, K),
+                superblock=qts[i].superblock_)
+        want = quant_matmul_reference(x, qts[i])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_batched_leading_dims():
     rng = np.random.default_rng(1)
     N, K = 128, 256

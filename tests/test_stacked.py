@@ -45,7 +45,8 @@ def test_stacked_matches_switch_forward(setup):
 
 def test_stacked_set_arch_no_retrace(setup):
     cfg, params, bits_range, proxies = setup
-    model = stacked.stack_proxies(proxies, bits_range)
+    # per-site random archs mix bits inside q/k/v -> needs the unfused form
+    model = stacked.stack_proxies(proxies, bits_range, fuse="never")
     count = {"n": 0}
 
     @jax.jit
