@@ -78,10 +78,13 @@ def random_stacked_model(cfg, rng) -> StackedModel:
                 rows = K * b // 32
                 out[f"{name}/{b}/packed"] = jax.random.bits(
                     k1, (L, rows, N), jnp.uint32)
-                out[f"{name}/{b}/scale"] = jax.random.uniform(
+                # bf16 scale/zero: halves the per-group metadata stream
+                out[f"{name}/{b}/scale"] = (jax.random.uniform(
                     k2, (L, K // GROUP, N), jnp.float32) * 0.02
-                out[f"{name}/{b}/zero"] = jax.random.uniform(
+                ).astype(jnp.bfloat16)
+                out[f"{name}/{b}/zero"] = (jax.random.uniform(
                     k3, (L, K // GROUP, N), jnp.float32) * (2**b - 1)
+                ).astype(jnp.bfloat16)
         key, k1, k2 = jax.random.split(key, 3)
         out["embed"] = (jax.random.normal(k1, (cfg.vocab_size, H), jnp.float32)
                         * 0.02).astype(jnp.bfloat16)
@@ -119,7 +122,7 @@ def weight_bytes_per_token(cfg) -> float:
     for name, (N, K) in _bench_sites(cfg).items():
         for i in range(cfg.num_layers):
             b = BITS_RANGE[i % len(BITS_RANGE)]
-            total += K * N * b / 8 + (K // GROUP) * N * 2 * 4
+            total += K * N * b / 8 + (K // GROUP) * N * 2 * 2  # bf16 s/z
     total += 2 * cfg.vocab_size * cfg.hidden_size * 2  # embed + head bf16
     return total
 
