@@ -73,8 +73,14 @@ class Evaluator:
                     transform.quantize_model(dense_params, cfg, b, group_size)
                     for b in self.bits_range
                 ]
-            self.switch_params = transform.build_switch_model(
-                proxies, self.bits_range)
+            # scan-over-layers switch model: one compact program regardless
+            # of depth (an unrolled per-layer forward exceeds the remote
+            # compiler's program-size limit at 7B scale) and selector-only
+            # arch swaps (no retrace across ~10k search evaluations)
+            from ..models import stacked as stacked_mod
+            self._stacked = stacked_mod
+            self.switch_params = stacked_mod.stack_proxies(
+                proxies, self.bits_range, fuse="never")
             # dense logits cache (host, fp16) — reference caches on device
             # (evaluator.py:46-52); host keeps HBM for the working model
             self.dense_logits: Dict[str, np.ndarray] = {}
@@ -89,8 +95,13 @@ class Evaluator:
     # -- low level ---------------------------------------------------------
 
     def _forward_logits(self, params, tokens):
-        logits, _ = llama.forward(params, self.cfg, tokens,
-                                  compute_dtype=self.compute_dtype)
+        from ..models.stacked import StackedModel, forward_stacked
+        if isinstance(params, StackedModel):
+            logits, _ = forward_stacked(params, self.cfg, tokens,
+                                        compute_dtype=self.compute_dtype)
+        else:
+            logits, _ = llama.forward(params, self.cfg, tokens,
+                                      compute_dtype=self.compute_dtype)
         return logits
 
     def _shard_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -118,8 +129,8 @@ class Evaluator:
 
     def sample(self, arch: transform.Arch, method: str = "hqq"):
         if self.search:
-            self.switch_params = transform.set_arch(
-                self.switch_params, arch, self.bits_range)
+            self.switch_params = self._stacked.set_arch(
+                self.switch_params, arch)
             return self.switch_params
         assert self.quantize_fn is not None, "final mode needs quantize_fn"
         return self.quantize_fn(self.model_params, self.cfg, arch, method)
