@@ -219,6 +219,47 @@ def _apply_stack(stack: StackedQuant, i, x, compute_dtype):
     return linear_mod.apply_linear(ql, x, compute_dtype)
 
 
+def _apply_down_swiglu(model: StackedModel, i, gate, up, compute_dtype,
+                       bit_idx: Optional[int] = None):
+    """down-proj consuming (gate, up) with silu*mul fused into the kernel
+    prologue when the Pallas impl is active (one fewer pipeline boundary
+    per layer); falls back to elementwise-then-matmul otherwise."""
+    impl = linear_mod._KERNEL_IMPL
+    name = "mlp.down_proj"
+
+    def stack_branch(stack: StackedQuant):
+        def br(operand):
+            g, u = operand
+            if impl is not None and stack.superblock:
+                from ..ops.quant_matmul import quant_matmul_swiglu_indexed
+                lead = g.shape[:-1]
+                g2 = g.reshape(-1, g.shape[-1])
+                u2 = u.reshape(-1, u.shape[-1])
+                out = quant_matmul_swiglu_indexed(
+                    g2, u2, stack.packed, stack.scale, stack.zero, i,
+                    nbits=stack.nbits, group_size=stack.group_size,
+                    shape=stack.shape, superblock=stack.superblock,
+                    acc_dtype=(jnp.bfloat16 if g.dtype == jnp.bfloat16
+                               else jnp.float32),
+                    out_dtype=compute_dtype)
+                return out.reshape(*lead, stack.shape[0])
+            act = (jax.nn.silu(g.astype(jnp.float32)).astype(compute_dtype)
+                   * u)
+            return _apply_stack(stack, i, act, compute_dtype)
+        return br
+
+    if bit_idx is not None:
+        y = stack_branch(model.sites[name][bit_idx])((gate, up))
+    else:
+        y = jax.lax.switch(model.select[name][i],
+                           [stack_branch(s) for s in model.sites[name]],
+                           (gate, up))
+    if model.biases[name] is not None:
+        y = y + jax.lax.dynamic_index_in_dim(
+            model.biases[name], i, 0, False).astype(y.dtype)
+    return y
+
+
 def _apply_site(model: StackedModel, name: str, i, x, compute_dtype,
                 bit_idx: Optional[int] = None):
     """One linear site of layer ``i``.
@@ -336,9 +377,7 @@ def forward_stacked(
                                bit_idx)
             up = _apply_site(model, "mlp.up_proj", i, h, compute_dtype,
                              bit_idx)
-        act = jax.nn.silu(gate.astype(jnp.float32)).astype(compute_dtype) * up
-        down = _apply_site(model, "mlp.down_proj", i, act, compute_dtype,
-                           bit_idx)
+        down = _apply_down_swiglu(model, i, gate, up, compute_dtype, bit_idx)
         if tp_axis is not None:
             down = jax.lax.psum(down, tp_axis)
         x = x + down

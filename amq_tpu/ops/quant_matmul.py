@@ -279,6 +279,106 @@ def quant_matmul_indexed(
     return out[:M]
 
 
+def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
+                       *, nbits, group_size, groups_per_tile, acc_dtype):
+    """down-proj with the SwiGLU activation fused into the x prologue:
+    x_tile = silu(gate_tile) * up_tile computed in-kernel, removing the
+    elementwise XLA op (and pipeline boundary) between gate/up and down."""
+    del idx_ref
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    T = groups_per_tile
+    bn = o_ref.shape[1]
+    g = g_ref[:].astype(jnp.float32)
+    x = (g * jax.nn.sigmoid(g) * u_ref[:].astype(jnp.float32)).astype(acc_dtype)
+    deq = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
+                        group_size, T, bn, acc_dtype)
+    o_ref[:] += jnp.dot(x, deq.reshape(T * group_size, bn),
+                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbits", "group_size", "shape", "superblock",
+                     "block_n", "acc_dtype", "out_dtype"))
+def quant_matmul_swiglu_indexed(
+    gate: jnp.ndarray,           # [M, K]
+    up: jnp.ndarray,             # [M, K]
+    packed_stack: jnp.ndarray,   # [L, K*b/32, N] (down-proj stack)
+    scale_stack: jnp.ndarray,
+    zero_stack: jnp.ndarray,
+    layer: jnp.ndarray,
+    *,
+    nbits: int,
+    group_size: int,
+    shape,
+    superblock: int,
+    block_n: Optional[int] = None,
+    acc_dtype=jnp.float32,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """``silu(gate) * up @ W_down.T`` fused, layer-indexed (see
+    quant_matmul_indexed)."""
+    N, K = shape
+    L = packed_stack.shape[0]
+    M = gate.shape[0]
+    out_dtype = out_dtype or gate.dtype
+    g = group_size
+    bk = superblock
+    bn = block_n or _pick_tile(N, (1024, 512, 256, 128))
+    T = bk // g
+    rows_per_tile = packed_rows(bk, nbits)
+
+    m_pad = -M % 8
+    bm = M + m_pad if M <= 8 else _pick_tile(M, (256, 128, 64, 32, 16, 8))
+    if m_pad and M <= 8:
+        gate = jnp.pad(gate, ((0, m_pad), (0, 0)))
+        up = jnp.pad(up, ((0, m_pad), (0, 0)))
+    grid = (gate.shape[0] // bm, N // bn, K // bk)
+
+    kernel = functools.partial(
+        _qmm_kernel_swiglu, nbits=nbits, group_size=g,
+        groups_per_tile=T, acc_dtype=acc_dtype)
+    scale4 = scale_stack.reshape(L, K // bk, T, N)
+    zero4 = zero_stack.reshape(L, K // bk, T, N)
+    idx = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k, idx: (m, k)),
+            pl.BlockSpec((bm, bk), lambda m, n, k, idx: (m, k)),
+            pl.BlockSpec((1, rows_per_tile, bn),
+                         lambda m, n, k, idx: (idx[0], k, n)),
+            pl.BlockSpec((1, 1, T, bn),
+                         lambda m, n, k, idx: (idx[0], k, 0, n)),
+            pl.BlockSpec((1, 1, T, bn),
+                         lambda m, n, k, idx: (idx[0], k, 0, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, idx: (m, n)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((gate.shape[0], N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=(K * nbits // 8) * N
+            + 2 * M * K * gate.dtype.itemsize + M * N * 4,
+            transcendentals=M * K,
+        ),
+    )(idx, gate, up, packed_stack, scale4, zero4)
+    return out[:M]
+
+
 def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
                  out_dtype=None, acc_dtype=None) -> jnp.ndarray:
     """``x @ W_dequant.T`` with W in packed form.  x: [..., K] -> [..., N].

@@ -54,6 +54,31 @@ def test_indexed_stacked_matches_per_layer(nbits):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_swiglu_fused_matches_composition():
+    from amq_tpu.ops.quant_matmul import quant_matmul_swiglu_indexed
+
+    rng = np.random.default_rng(3)
+    L, N, K = 2, 128, 256
+    qts = [q.quantize(jnp.asarray(rng.normal(size=(N, K)).astype(np.float32)),
+                      nbits=3) for _ in range(L)]
+    packed = jnp.stack([t.packed for t in qts])
+    scale = jnp.stack([t.scale for t in qts])
+    zero = jnp.stack([t.zero for t in qts])
+    g = jnp.asarray(rng.normal(size=(1, K)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(1, K)).astype(np.float32))
+
+    for i in range(L):
+        with pltpu.force_tpu_interpret_mode():
+            got = quant_matmul_swiglu_indexed(
+                g, u, packed, scale, zero, jnp.int32(i),
+                nbits=3, group_size=128, shape=(N, K),
+                superblock=qts[i].superblock_)
+        act = jax.nn.silu(g) * u
+        want = quant_matmul_reference(act, qts[i])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_batched_leading_dims():
     rng = np.random.default_rng(1)
     N, K = 128, 256
