@@ -30,7 +30,8 @@ import numpy as np
 from ..models import llama
 from ..models.config import ModelConfig
 from ..models.linear import kernel_linears
-from ..models.stacked import StackedModel, forward_stacked, _apply_site
+from ..models.stacked import (StackedModel, forward_stacked, _apply_site,
+                              _apply_down_swiglu)
 
 
 @jax.tree_util.register_dataclass
@@ -155,8 +156,7 @@ def decode_step(model: StackedModel, cfg: ModelConfig,
         else:
             gate = _apply_site(model, "mlp.gate_proj", i, h, compute_dtype)
             up = _apply_site(model, "mlp.up_proj", i, h, compute_dtype)
-        act = jax.nn.silu(gate.astype(jnp.float32)).astype(compute_dtype) * up
-        down = _apply_site(model, "mlp.down_proj", i, act, compute_dtype)
+        down = _apply_down_swiglu(model, i, gate, up, compute_dtype)
         x = x + down
         return x, (k_buf, v_buf)
 
