@@ -80,9 +80,17 @@ def _dequant_tile(w_blk, s_blk, z_blk, nbits, group_size, T, bn, acc_dtype):
     return ((codes.astype(jnp.int32).astype(acc_dtype) - z) * s)
 
 
-def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref,
-                *, nbits, group_size, groups_per_tile, acc_dtype):
-    k = pl.program_id(2)
+def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
+                *, nbits, group_size, groups_per_tile, acc_dtype,
+                single_m):
+    # grid order (n, k, m): m innermost so one weight tile's dequantized
+    # form (persisted in scratch) serves every m tile — at prefill/eval
+    # shapes the old (m, n, k) order re-unpacked each weight tile per m
+    # tile (32x redundant VPU work at seq 2048).  With a single m step
+    # (decode) the scratch round trip is pure overhead, so feed the
+    # dequantized tile to the MXU directly.
+    k = pl.program_id(1)
+    m = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -93,12 +101,20 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref,
     # sublane-aligned for T < 8)
     T = groups_per_tile
     bn = o_ref.shape[1]
-    s_blk = s_ref[0]
-    z_blk = z_ref[0]
-    deq = _dequant_tile(w_ref[:], s_blk, z_blk, nbits, group_size, T, bn,
-                        acc_dtype)
-    o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype),
-                        deq.reshape(T * group_size, bn),
+
+    if single_m:
+        w = _dequant_tile(w_ref[:], s_ref[0], z_ref[0], nbits,
+                          group_size, T, bn, acc_dtype
+                          ).reshape(T * group_size, bn)
+    else:
+        @pl.when(m == 0)
+        def _():
+            deq = _dequant_tile(w_ref[:], s_ref[0], z_ref[0], nbits,
+                                group_size, T, bn, acc_dtype)
+            scratch[:] = deq.reshape(T * group_size, bn)
+        w = scratch[:]
+
+    o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype), w,
                         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
@@ -141,11 +157,12 @@ def _quant_matmul_packed(
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
         bm = x.shape[0] if M <= 8 else bm
-    grid = (x.shape[0] // bm, N // bn, K // bk)
+    grid = (N // bn, K // bk, x.shape[0] // bm)
 
     kernel = functools.partial(
         _qmm_kernel, nbits=nbits, group_size=g,
-        groups_per_tile=groups_per_tile, acc_dtype=acc_dtype)
+        groups_per_tile=groups_per_tile, acc_dtype=acc_dtype,
+        single_m=grid[2] == 1)
 
     scale3 = scale.reshape(K // bk, groups_per_tile, N)
     zero3 = zero.reshape(K // bk, groups_per_tile, N)
@@ -154,20 +171,21 @@ def _quant_matmul_packed(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k),
+            pl.BlockSpec((bm, bk), lambda n, k, m: (m, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_per_tile, bn), lambda m, n, k: (k, n),
+            pl.BlockSpec((rows_per_tile, bn), lambda n, k, m: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, groups_per_tile, bn), lambda m, n, k: (k, 0, n),
+            pl.BlockSpec((1, groups_per_tile, bn), lambda n, k, m: (k, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, groups_per_tile, bn), lambda m, n, k: (k, 0, n),
+            pl.BlockSpec((1, groups_per_tile, bn), lambda n, k, m: (k, 0, n),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
+        out_specs=pl.BlockSpec((bm, bn), lambda n, k, m: (m, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bk, bn), acc_dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
@@ -179,10 +197,12 @@ def _quant_matmul_packed(
     return out[:M]
 
 
-def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
-                        *, nbits, group_size, groups_per_tile, acc_dtype):
+def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
+                        *, nbits, group_size, groups_per_tile, acc_dtype,
+                        single_m):
     del idx_ref  # consumed by the index maps
-    k = pl.program_id(2)
+    k = pl.program_id(1)
+    m = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -190,10 +210,20 @@ def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
 
     T = groups_per_tile
     bn = o_ref.shape[1]
-    deq = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
-                        group_size, T, bn, acc_dtype)
-    o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype),
-                        deq.reshape(T * group_size, bn),
+
+    if single_m:
+        w = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
+                          group_size, T, bn, acc_dtype
+                          ).reshape(T * group_size, bn)
+    else:
+        @pl.when(m == 0)
+        def _():
+            deq = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
+                                group_size, T, bn, acc_dtype)
+            scratch[:] = deq.reshape(T * group_size, bn)
+        w = scratch[:]
+
+    o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype), w,
                         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
@@ -238,11 +268,11 @@ def quant_matmul_indexed(
     bm = M + m_pad if M <= 8 else _pick_tile(M, (256, 128, 64, 32, 16, 8))
     if m_pad and M <= 8:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
-    grid = (x.shape[0] // bm, N // bn, K // bk)
+    grid = (N // bn, K // bk, x.shape[0] // bm)
 
     kernel = functools.partial(
         _qmm_kernel_stacked, nbits=nbits, group_size=g,
-        groups_per_tile=T, acc_dtype=acc_dtype)
+        groups_per_tile=T, acc_dtype=acc_dtype, single_m=grid[2] == 1)
 
     scale4 = scale_stack.reshape(L, K // bk, T, N)
     zero4 = zero_stack.reshape(L, K // bk, T, N)
@@ -252,22 +282,23 @@ def quant_matmul_indexed(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda m, n, k, idx: (m, k)),
+            pl.BlockSpec((bm, bk), lambda n, k, m, idx: (m, k)),
             pl.BlockSpec((1, rows_per_tile, bn),
-                         lambda m, n, k, idx: (idx[0], k, n)),
+                         lambda n, k, m, idx: (idx[0], k, n)),
             pl.BlockSpec((1, 1, T, bn),
-                         lambda m, n, k, idx: (idx[0], k, 0, n)),
+                         lambda n, k, m, idx: (idx[0], k, 0, n)),
             pl.BlockSpec((1, 1, T, bn),
-                         lambda m, n, k, idx: (idx[0], k, 0, n)),
+                         lambda n, k, m, idx: (idx[0], k, 0, n)),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, idx: (m, n)),
+        out_specs=pl.BlockSpec((bm, bn), lambda n, k, m, idx: (m, n)),
+        scratch_shapes=[pltpu.VMEM((bk, bn), acc_dtype)],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((x.shape[0], N), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
@@ -280,12 +311,15 @@ def quant_matmul_indexed(
 
 
 def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
-                       *, nbits, group_size, groups_per_tile, acc_dtype):
+                       scratch,
+                       *, nbits, group_size, groups_per_tile, acc_dtype,
+                       single_m):
     """down-proj with the SwiGLU activation fused into the x prologue:
     x_tile = silu(gate_tile) * up_tile computed in-kernel, removing the
     elementwise XLA op (and pipeline boundary) between gate/up and down."""
     del idx_ref
-    k = pl.program_id(2)
+    k = pl.program_id(1)
+    m = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -293,11 +327,22 @@ def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
 
     T = groups_per_tile
     bn = o_ref.shape[1]
+
+    if single_m:
+        w = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
+                          group_size, T, bn, acc_dtype
+                          ).reshape(T * group_size, bn)
+    else:
+        @pl.when(m == 0)
+        def _():
+            deq = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
+                                group_size, T, bn, acc_dtype)
+            scratch[:] = deq.reshape(T * group_size, bn)
+        w = scratch[:]
+
     g = g_ref[:].astype(jnp.float32)
     x = (g * jax.nn.sigmoid(g) * u_ref[:].astype(jnp.float32)).astype(acc_dtype)
-    deq = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
-                        group_size, T, bn, acc_dtype)
-    o_ref[:] += jnp.dot(x, deq.reshape(T * group_size, bn),
+    o_ref[:] += jnp.dot(x, w,
                         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
@@ -338,11 +383,11 @@ def quant_matmul_swiglu_indexed(
     if m_pad and M <= 8:
         gate = jnp.pad(gate, ((0, m_pad), (0, 0)))
         up = jnp.pad(up, ((0, m_pad), (0, 0)))
-    grid = (gate.shape[0] // bm, N // bn, K // bk)
+    grid = (N // bn, K // bk, gate.shape[0] // bm)
 
     kernel = functools.partial(
         _qmm_kernel_swiglu, nbits=nbits, group_size=g,
-        groups_per_tile=T, acc_dtype=acc_dtype)
+        groups_per_tile=T, acc_dtype=acc_dtype, single_m=grid[2] == 1)
     scale4 = scale_stack.reshape(L, K // bk, T, N)
     zero4 = zero_stack.reshape(L, K // bk, T, N)
     idx = jnp.asarray(layer, jnp.int32).reshape(1)
@@ -351,23 +396,24 @@ def quant_matmul_swiglu_indexed(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda m, n, k, idx: (m, k)),
-            pl.BlockSpec((bm, bk), lambda m, n, k, idx: (m, k)),
+            pl.BlockSpec((bm, bk), lambda n, k, m, idx: (m, k)),
+            pl.BlockSpec((bm, bk), lambda n, k, m, idx: (m, k)),
             pl.BlockSpec((1, rows_per_tile, bn),
-                         lambda m, n, k, idx: (idx[0], k, n)),
+                         lambda n, k, m, idx: (idx[0], k, n)),
             pl.BlockSpec((1, 1, T, bn),
-                         lambda m, n, k, idx: (idx[0], k, 0, n)),
+                         lambda n, k, m, idx: (idx[0], k, 0, n)),
             pl.BlockSpec((1, 1, T, bn),
-                         lambda m, n, k, idx: (idx[0], k, 0, n)),
+                         lambda n, k, m, idx: (idx[0], k, 0, n)),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, idx: (m, n)),
+        out_specs=pl.BlockSpec((bm, bn), lambda n, k, m, idx: (m, n)),
+        scratch_shapes=[pltpu.VMEM((bk, bn), acc_dtype)],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((gate.shape[0], N), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
