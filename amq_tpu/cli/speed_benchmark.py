@@ -23,7 +23,10 @@ def main(argv=None):
     p.add_argument("--prompt_len", type=int, default=64)
     p.add_argument("--gen_len", type=int, default=128)
     p.add_argument("--modes", type=str, nargs="+",
-                   default=["TPS", "GEMV", "GEMM", "TTFT"])
+                   default=["TPS", "GEMV", "GEMM", "TTFT"],
+                   help="also: CONTINUOUS (slot-batched throughput)")
+    p.add_argument("--n_slots", type=int, default=4)
+    p.add_argument("--n_requests", type=int, default=16)
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--save_path", type=str, default="speed_out")
     args = p.parse_args(argv)
@@ -60,11 +63,21 @@ def main(argv=None):
                  max_len=args.prompt_len + args.gen_len + 8,
                  compute_dtype=jnp.bfloat16, use_pallas=not args.no_pallas)
 
+    from ..serving.benchmark import benchmark_continuous
+
     results = {}
     for mode in args.modes:
-        results[mode] = benchmark_speed(eng, mode,
-                                        prompt_len=args.prompt_len,
-                                        gen_len=args.gen_len)
+        if mode == "CONTINUOUS":
+            results[mode] = benchmark_continuous(
+                model, cfg, n_slots=args.n_slots,
+                n_requests=args.n_requests, prompt_len=args.prompt_len,
+                gen_len=args.gen_len,
+                max_len=args.prompt_len + args.gen_len + 8,
+                use_pallas=not args.no_pallas)
+        else:
+            results[mode] = benchmark_speed(eng, mode,
+                                            prompt_len=args.prompt_len,
+                                            gen_len=args.gen_len)
         print(f"{mode}: {results[mode]}")
     results["peak_mem_gib"] = device_peak_gib()
     dump_json(results, f"{args.save_path}/{cfg.name}_speed.json")

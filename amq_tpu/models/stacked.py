@@ -28,8 +28,8 @@ import numpy as np
 
 from ..core.quantize import QuantizedTensor
 from .config import LINEAR_NAMES, ModelConfig
-from .linear import QuantLinear, _KERNEL_IMPL  # noqa: F401 (impl read at trace)
-from . import linear as linear_mod
+from .linear import QuantLinear
+from . import linear as linear_mod  # _KERNEL_IMPL read at trace time
 from . import llama
 
 

@@ -9,16 +9,21 @@ step (replacing the reference's per-layer module dispatch).
 
 Design:
 * weights stay packed in HBM in the :mod:`amq_tpu.core.bitpack` layout
-  (``[K*b/32, N]`` uint32, group-aligned planar planes), so HBM traffic is
-  exactly ``b`` bits/weight — the roofline for weight-only quantization,
-* grid ``(m, n, k)``; per step the packed block is unpacked plane-by-plane
-  with static shifts into a VMEM scratch of dequantized values
-  (group-blocked writes keep every slice sublane-aligned), then a single
-  MXU matmul accumulates into the output tile,
+  (``[K*b/32, N]`` uint32, planar over a superblock = this kernel's K
+  tile), so HBM traffic is exactly ``b`` bits/weight — the roofline for
+  weight-only quantization,
+* grid ``(n, k, m)``: per (n, k) step the packed superblock is unpacked
+  with full-slab static-shift plane extractions and dequantized; with
+  multiple m tiles (prefill/eval) the dequantized tile persists in VMEM
+  scratch and is reused across m; a single MXU matmul accumulates into
+  the output tile per step,
 * 3-bit is a 2-bit plane + 1-bit plane recombination — all power-of-two
   strides (the reference's 10-per-int32 layout cannot vectorize here),
-* decode (M<=8) and prefill (M large) use the same kernel with different
-  m-tiling; the k-grid axis is sequential ("arbitrary") for accumulation.
+* ``quant_matmul_indexed`` / ``quant_matmul_swiglu_indexed`` additionally
+  take a layer index as a scalar-prefetch BlockSpec input, DMA-ing
+  straight out of stacked ``[L, ...]`` weight buffers (the scan-over-
+  layers serving model), with SwiGLU optionally fused into the x
+  prologue.
 """
 
 from __future__ import annotations

@@ -87,3 +87,43 @@ def benchmark_speed(engine: Engine, mode: str = "TPS", prompt_len: int = 64,
                 "tokens_per_s": 1.0 / per_tok}
 
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def benchmark_continuous(model, cfg, n_slots: int = 4, n_requests: int = 16,
+                         prompt_len: int = 64, gen_len: int = 64,
+                         max_len: int = 2048, use_pallas: bool = True,
+                         compute_dtype=None, seed: int = 0):
+    """Continuous-batching throughput: n_requests streamed through n_slots.
+
+    Uses the native C++ scheduler when available; reports aggregate
+    generated tokens/s wall-clock including prefills and slot churn.
+    """
+    import jax.numpy as jnp
+
+    from .batched import SlotEngine
+    from .engine import ContinuousBatcher, Request
+
+    compute_dtype = compute_dtype or jnp.bfloat16
+    rng = np.random.default_rng(seed)
+    eng = SlotEngine(model, cfg, n_slots=n_slots, max_len=max_len,
+                     compute_dtype=compute_dtype, use_pallas=use_pallas,
+                     prefill_buckets=(prompt_len,))
+
+    def submit_all():
+        b = ContinuousBatcher(n_slots=n_slots, max_len=max_len)
+        for uid in range(n_requests):
+            b.submit(Request(
+                uid=uid,
+                prompt=rng.integers(0, cfg.vocab_size,
+                                    prompt_len).astype(np.int32),
+                max_new_tokens=gen_len))
+        return b
+
+    eng.run(submit_all())  # warmup / compile
+    t0 = time.perf_counter()
+    results = eng.run(submit_all())
+    dt = time.perf_counter() - t0
+    total = sum(len(v) for v in results.values())
+    return {"requests": n_requests, "slots": n_slots,
+            "total_tokens": total, "total_s": dt,
+            "tokens_per_s": total / dt}
