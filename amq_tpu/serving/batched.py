@@ -89,13 +89,12 @@ def prefill_slot(model, cfg: ModelConfig, tokens: jnp.ndarray,  # [1, S] padded
     return nxt, SlotCache(k=k, v=v, lengths=lengths)
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "impl"))
-def decode_step(model: StackedModel, cfg: ModelConfig,
-                tokens: jnp.ndarray,        # [B] int32 (one per slot)
-                active: jnp.ndarray,        # [B] bool
-                cache: SlotCache,
-                compute_dtype=jnp.bfloat16,
-                impl=None):
+def _decode_once(model: StackedModel, cfg: ModelConfig,
+                 tokens: jnp.ndarray,        # [B] int32 (one per slot)
+                 active: jnp.ndarray,        # [B] bool
+                 cache: SlotCache,
+                 compute_dtype=jnp.bfloat16,
+                 impl=None):
     """One decode token for every active slot.  Returns (next [B], cache)."""
     B = tokens.shape[0]
     T = cache.k.shape[2]
@@ -176,13 +175,41 @@ def decode_step(model: StackedModel, cfg: ModelConfig,
     return nxt, SlotCache(k=k_all, v=v_all, lengths=lengths)
 
 
+decode_step = jax.jit(_decode_once,
+                      static_argnames=("cfg", "compute_dtype", "impl"))
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "compute_dtype", "impl"))
+def decode_chunk(model: StackedModel, cfg: ModelConfig,
+                 tokens: jnp.ndarray, active: jnp.ndarray,
+                 cache: SlotCache, n_steps: int,
+                 compute_dtype=jnp.bfloat16, impl=None):
+    """``n_steps`` decode tokens per slot as ONE dispatch (lax.scan).
+
+    Per-call dispatch costs ~25 ms on the tunneled backend, so the serving
+    loop decodes in chunks and does scheduler bookkeeping between chunks;
+    slots that finish mid-chunk produce discarded tokens (bounded waste of
+    < n_steps per retirement).  Returns (tokens [B, n_steps], cache).
+    """
+    def step(carry, _):
+        tok, cache = carry
+        nxt, cache = _decode_once(model, cfg, tok, active, cache,
+                                  compute_dtype, impl)
+        return (nxt, cache), nxt
+
+    (_, cache), toks = jax.lax.scan(step, (tokens, cache), None,
+                                    length=n_steps)
+    return jnp.moveaxis(toks, 0, 1), cache
+
+
 class SlotEngine:
     """Continuous-batching serving loop over a StackedModel."""
 
     def __init__(self, model: StackedModel, cfg: ModelConfig,
                  n_slots: int = 4, max_len: int = 2048,
                  compute_dtype=jnp.bfloat16, use_pallas: bool = True,
-                 prefill_buckets=(32, 64, 128, 256, 512, 1024, 2048)):
+                 prefill_buckets=(32, 64, 128, 256, 512, 1024, 2048),
+                 chunk_steps: int = 1):
         from .engine import pallas_linear_impl
         self.model = model
         self.cfg = cfg
@@ -191,6 +218,7 @@ class SlotEngine:
         self.compute_dtype = compute_dtype
         self.impl = pallas_linear_impl if use_pallas else None
         self.buckets = tuple(sorted(prefill_buckets))
+        self.chunk_steps = chunk_steps
         self.cache = SlotCache.create(cfg, n_slots, max_len,
                                       dtype=compute_dtype)
         self.next_token = np.zeros(n_slots, np.int32)
@@ -221,6 +249,15 @@ class SlotEngine:
         self.next_token = np.where(active_mask, out, self.next_token)
         return out
 
+    def step_chunk(self, active_mask: np.ndarray, n_steps: int) -> np.ndarray:
+        toks, self.cache = decode_chunk(
+            self.model, self.cfg, jnp.asarray(self.next_token),
+            jnp.asarray(active_mask), self.cache, n_steps=n_steps,
+            compute_dtype=self.compute_dtype, impl=self.impl)
+        out = np.asarray(toks)  # [B, n_steps]
+        self.next_token = np.where(active_mask, out[:, -1], self.next_token)
+        return out
+
     def run(self, batcher, max_steps: int = 10_000) -> Dict[int, List[int]]:
         """Drive requests from a ContinuousBatcher to completion."""
         results: Dict[int, List[int]] = {}
@@ -237,9 +274,21 @@ class SlotEngine:
             active = np.array([s is not None for s in batcher.slots])
             if not active.any():
                 break
-            toks = self.step(active)
-            for req in batcher.step_bookkeeping(
-                    np.where(active, toks, -1)):
-                results[req.uid] = req.generated
+            if self.chunk_steps > 1:
+                toks = self.step_chunk(active, self.chunk_steps)
+                for j in range(toks.shape[1]):
+                    for req in batcher.step_bookkeeping(
+                            np.where(active, toks[:, j], -1)):
+                        results[req.uid] = req.generated
+                    # slots retired mid-chunk: their remaining columns are
+                    # discarded; refills happen at the next outer iteration
+                    active = np.array([s is not None for s in batcher.slots])
+                    if not active.any():
+                        break
+            else:
+                toks = self.step(active)
+                for req in batcher.step_bookkeeping(
+                        np.where(active, toks, -1)):
+                    results[req.uid] = req.generated
             steps += 1
         return results

@@ -92,7 +92,8 @@ def benchmark_speed(engine: Engine, mode: str = "TPS", prompt_len: int = 64,
 def benchmark_continuous(model, cfg, n_slots: int = 4, n_requests: int = 16,
                          prompt_len: int = 64, gen_len: int = 64,
                          max_len: int = 2048, use_pallas: bool = True,
-                         compute_dtype=None, seed: int = 0):
+                         compute_dtype=None, seed: int = 0,
+                         chunk_steps: int = 8):
     """Continuous-batching throughput: n_requests streamed through n_slots.
 
     Uses the native C++ scheduler when available; reports aggregate
@@ -107,7 +108,7 @@ def benchmark_continuous(model, cfg, n_slots: int = 4, n_requests: int = 16,
     rng = np.random.default_rng(seed)
     eng = SlotEngine(model, cfg, n_slots=n_slots, max_len=max_len,
                      compute_dtype=compute_dtype, use_pallas=use_pallas,
-                     prefill_buckets=(prompt_len,))
+                     prefill_buckets=(prompt_len,), chunk_steps=chunk_steps)
 
     def submit_all():
         b = ContinuousBatcher(n_slots=n_slots, max_len=max_len)
@@ -125,5 +126,6 @@ def benchmark_continuous(model, cfg, n_slots: int = 4, n_requests: int = 16,
     dt = time.perf_counter() - t0
     total = sum(len(v) for v in results.values())
     return {"requests": n_requests, "slots": n_slots,
+            "chunk_steps": chunk_steps,
             "total_tokens": total, "total_s": dt,
             "tokens_per_s": total / dt}

@@ -50,3 +50,26 @@ def test_slot_batching_matches_single(setup):
     assert set(results) == set(want)
     for uid in want:
         assert results[uid] == want[uid], (uid, results[uid], want[uid])
+
+
+def test_chunked_slot_batching_matches_single(setup):
+    cfg, model = setup
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, cfg.vocab_size, n).astype(np.int32)
+               for n in (5, 7, 4)]
+    n_new = 7  # not a multiple of chunk_steps: mid-chunk retirement
+
+    want = {i: _reference_greedy(cfg, model, p, n_new).tolist()
+            for i, p in enumerate(prompts)}
+
+    from amq_tpu.serving.batched import SlotEngine as SE
+    eng = SE(model, cfg, n_slots=2, max_len=64,
+             compute_dtype=jnp.float32, use_pallas=False,
+             prefill_buckets=(8, 16), chunk_steps=3)
+    batcher = ContinuousBatcher(n_slots=2, max_len=64)
+    for i, p in enumerate(prompts):
+        batcher.submit(Request(uid=i, prompt=p, max_new_tokens=n_new))
+    results = eng.run(batcher)
+    assert set(results) == set(want)
+    for uid in want:
+        assert results[uid] == want[uid], (uid, results[uid], want[uid])
