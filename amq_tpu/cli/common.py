@@ -29,7 +29,7 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--n_sample", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--group_size", type=int, default=128)
-    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--platform", type=str, default="",
                    help="force jax platform (cpu/tpu)")
     return p

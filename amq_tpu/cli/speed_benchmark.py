@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--n_requests", type=int, default=16)
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--save_path", type=str, default="speed_out")
+    # serving benchmark batch matches the reference default (batch 1,
+    # amq_speed_benchmark.py:107-109); the shared default of 8 is for the
+    # evaluation stages
+    p.set_defaults(batch_size=1)
     args = p.parse_args(argv)
     jax = setup_jax(args)
     import jax.numpy as jnp

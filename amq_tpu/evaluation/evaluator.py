@@ -40,7 +40,7 @@ class Evaluator:
         bits_range: Sequence[int] = (2, 3, 4),
         datasets: Optional[Dict[str, np.ndarray]] = None,  # name -> [N, S] tokens
         group_size: int = 128,
-        batch_size: int = 1,
+        batch_size: int = 8,
         search: bool = True,
         mesh: Optional[jax.sharding.Mesh] = None,
         compute_dtype=jnp.float32,
@@ -61,10 +61,15 @@ class Evaluator:
         # jitted once; re-used across every arch eval (a fresh jax.jit per
         # call would retrace each of the ~10k search evaluations)
         self._fwd = jax.jit(self._forward_logits)
-        self._loss_step = jax.jit(lambda p, t, d: metrics.jsd_shifted(
-            self._forward_logits(p, t), d))
-        self._ppl_step = jax.jit(lambda p, t: metrics.cross_entropy_shifted(
-            self._forward_logits(p, t), t))
+        # per-sample losses [B]: the ragged last batch is padded to the
+        # full batch shape (no retrace, mesh-divisible) and the pad rows'
+        # losses are dropped host-side by valid-count weighting
+        self._loss_step = jax.jit(
+            lambda p, t, d: metrics.jsd_shifted_per_sample(
+                self._forward_logits(p, t), d))
+        self._ppl_step = jax.jit(
+            lambda p, t: metrics.cross_entropy_shifted_per_sample(
+                self._forward_logits(p, t), t))
 
         if search:
             assert dense_params is not None or proxies is not None
@@ -112,17 +117,28 @@ class Evaluator:
         return jax.device_put(tokens, sharding)
 
     def _batches(self, tokens: np.ndarray):
+        """Yield ``(batch [B, S], n_valid)`` with the last batch padded up
+        to the fixed B (repeat of the final row).  A ragged final batch
+        would both retrace the jitted step and break the 'data'-axis
+        sharding when ``N % mesh_size != 0``."""
         B = self.batch_size
         if self.mesh is not None:
-            B = max(B, self.mesh.devices.size)
+            d = self.mesh.devices.size
+            B = max(B, d) // d * d
         for i in range(0, tokens.shape[0], B):
-            yield tokens[i:i + B]
+            batch = tokens[i:i + B]
+            n_valid = batch.shape[0]
+            if n_valid < B:
+                pad = np.repeat(batch[-1:], B - n_valid, axis=0)
+                batch = np.concatenate([batch, pad], axis=0)
+            yield batch, n_valid
 
     def _batched_logits(self, params, tokens: np.ndarray) -> np.ndarray:
         outs = []
-        for batch in self._batches(tokens):
+        for batch, n_valid in self._batches(tokens):
             toks = self._shard_tokens(jnp.asarray(batch))
-            outs.append(np.asarray(self._fwd(params, toks), np.float16))
+            outs.append(np.asarray(self._fwd(params, toks),
+                                   np.float16)[:n_valid])
         return np.concatenate(outs, axis=0)
 
     # -- reference API -----------------------------------------------------
@@ -137,26 +153,27 @@ class Evaluator:
 
     def eval_loss(self, params, tokens: np.ndarray,
                   dense_logits: np.ndarray) -> float:
-        losses, weights = [], []
+        per_sample = []
         jitted = self._loss_step
         i = 0
-        for batch in self._batches(tokens):
+        for batch, n_valid in self._batches(tokens):
             toks = self._shard_tokens(jnp.asarray(batch))
-            dense = self._shard_tokens(
-                jnp.asarray(dense_logits[i:i + batch.shape[0]], jnp.float32))
-            losses.append(float(jitted(params, toks, dense)))
-            weights.append(batch.shape[0])
-            i += batch.shape[0]
-        return float(np.average(losses, weights=weights))
+            dense = np.asarray(dense_logits[i:i + n_valid], np.float32)
+            if n_valid < batch.shape[0]:
+                pad = np.repeat(dense[-1:], batch.shape[0] - n_valid, axis=0)
+                dense = np.concatenate([dense, pad], axis=0)
+            dense = self._shard_tokens(jnp.asarray(dense))
+            per_sample.append(np.asarray(jitted(params, toks, dense))[:n_valid])
+            i += n_valid
+        return float(np.mean(np.concatenate(per_sample)))
 
     def eval_ppl(self, params, tokens: np.ndarray) -> float:
-        losses, weights = [], []
+        per_sample = []
         jitted = self._ppl_step
-        for batch in self._batches(tokens):
+        for batch, n_valid in self._batches(tokens):
             toks = self._shard_tokens(jnp.asarray(batch))
-            losses.append(float(jitted(params, toks)))
-            weights.append(batch.shape[0])
-        return float(np.exp(np.average(losses, weights=weights)))
+            per_sample.append(np.asarray(jitted(params, toks))[:n_valid])
+        return float(np.exp(np.mean(np.concatenate(per_sample))))
 
     def eval(self, architecture: transform.Arch,
              method: str = "hqq") -> tuple[Dict[str, float], float]:

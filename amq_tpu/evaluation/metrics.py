@@ -52,6 +52,23 @@ def jsd_shifted(lm_logits: jnp.ndarray, dense_logits: jnp.ndarray) -> jnp.ndarra
     return jsd(p, q)
 
 
+def jsd_shifted_per_sample(lm_logits: jnp.ndarray,
+                           dense_logits: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample JSD ``[B]`` (each = mean over that sample's token rows).
+
+    Batched evaluation pads the ragged last batch; the caller weight-
+    averages the per-sample values over the valid prefix, reproducing the
+    reference's mean-per-sample accounting (utils/eval.py:40-44) exactly.
+    """
+    p_log = jax.nn.log_softmax(lm_logits[:, :-1, :].astype(jnp.float32), -1)
+    q_log = jax.nn.log_softmax(dense_logits[:, :-1, :].astype(jnp.float32), -1)
+    m = jnp.clip(0.5 * (jnp.exp(p_log) + jnp.exp(q_log)), 1e-7, None)
+    log_m = jnp.log(m)
+    kl_p = jnp.sum(jnp.exp(p_log) * (p_log - log_m), axis=-1)
+    kl_q = jnp.sum(jnp.exp(q_log) * (q_log - log_m), axis=-1)
+    return 0.5 * jnp.mean(kl_p + kl_q, axis=-1)
+
+
 def cross_entropy_shifted(lm_logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
     """Mean CE of next-token prediction (eval_ppl inner step)."""
     B, S, V = lm_logits.shape
@@ -59,6 +76,15 @@ def cross_entropy_shifted(lm_logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.nd
     tgt = tokens[:, 1:]
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     return jnp.mean(nll)
+
+
+def cross_entropy_shifted_per_sample(lm_logits: jnp.ndarray,
+                                     tokens: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample mean CE ``[B]`` (see jsd_shifted_per_sample)."""
+    logp = jax.nn.log_softmax(lm_logits[:, :-1, :].astype(jnp.float32), axis=-1)
+    tgt = tokens[:, 1:]
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll, axis=-1)
 
 
 def ppl_from_losses(losses: List[float]) -> float:

@@ -94,3 +94,37 @@ def test_mesh_data_parallel_matches_single_device(setup):
     m_mesh, _ = ev_mesh.eval(arch)
     m_ref, _ = ev_ref.eval(arch)
     assert m_mesh["synthetic"] == pytest.approx(m_ref["synthetic"], rel=1e-4)
+
+
+def test_ragged_batch_padding_matches_batch1(setup):
+    """11 samples at B=8 (one full + one padded batch) == batch-1 losses.
+
+    Guards the padded-last-batch path: pad rows are repeats of the final
+    sample and must be excluded from the mean (VERDICT r1 weak item 6)."""
+    cfg, params, _ = setup
+    toks = synthetic_tokens(cfg.vocab_size, n_sample=11, seqlen=64, seed=1)
+    arch = _uniform(cfg, 3)
+    res = {}
+    for B in (1, 8):
+        ev = Evaluator(cfg, dense_params=params,
+                       datasets={"synthetic": toks}, batch_size=B)
+        m, _ = ev.eval(arch)
+        res[B] = m["synthetic"]
+    assert res[1] == pytest.approx(res[8], rel=1e-5)
+
+
+def test_ragged_batch_padding_under_mesh(setup):
+    """N=11 not divisible by the 8-device 'data' axis: padding must keep
+    the sharded batch shape divisible (the pre-fix code would fail in
+    device_put)."""
+    cfg, params, _ = setup
+    toks = synthetic_tokens(cfg.vocab_size, n_sample=11, seqlen=64, seed=1)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    ev = Evaluator(cfg, dense_params=params, datasets={"synthetic": toks},
+                   mesh=mesh)
+    ev1 = Evaluator(cfg, dense_params=params, datasets={"synthetic": toks},
+                    batch_size=1)
+    arch = _uniform(cfg, 3)
+    m, _ = ev.eval(arch)
+    m1, _ = ev1.eval(arch)
+    assert m["synthetic"] == pytest.approx(m1["synthetic"], rel=1e-4)
