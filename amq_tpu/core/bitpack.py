@@ -7,24 +7,33 @@ hqq/core/bitpack.py:69-110).  We do NOT reproduce that layout: the numerics
 contract is only that pack->unpack is the identity on the quantized integer
 codes.
 
-TPU-native layout
------------------
+TPU-native "pair-planar" layout
+-------------------------------
 Quantized codes are stored *transposed* relative to the torch weight: an
 ``[out, in]`` linear weight is quantized per-group along ``in`` (axis=1 in the
 reference, group_size=128) and stored as a code matrix of shape ``[K, N]``
 (``K = in_features`` = reduction axis = sublanes, ``N = out_features`` =
-lanes).  Packing is *per quantization group* along K:
+lanes).  Packing is planar per block (pass the kernel's K-tile /
+superblock), with codes arranged in *16-bit-aligned pairs*:
 
-* each group of ``g`` K-rows packs into ``g * nbits / 32`` uint32 rows,
-* within a group the packing is planar: word row ``j`` holds codes
-  ``{j, j + rows, j + 2*rows, ...}`` of the group at descending shifts,
-* 3-bit is stored as a 2-bit plane (high bits) followed by a 1-bit plane
-  (low bit): ``12 = 8 + 4`` rows per 128-group.
+* a block of ``g`` K-rows packs into ``R = g * nbits / 32`` uint32 rows,
+* value at block row ``k = p*2R + 2r + h`` lives in word row ``r`` at bit
+  offset ``16*h + nbits*p`` (``p`` = extraction round, ``h`` = 16-bit
+  half).
 
-This gives exactly ``nbits`` bits per weight for every supported width
-(including 3-bit, where the reference wastes 2/32 bits per word), uniform
-power-of-two shift strides that vectorize on the VPU, and group-aligned
-blocks so a Pallas kernel can unpack+dequantize one group tile at a time.
+Why pairs: Mosaic's uint32->bf16 bitcast maps word row ``r`` to bf16 rows
+``(2r, 2r+1)`` = (low half, high half) — measured on v5e
+(scripts/probe_bitcast.py).  With codes 16 bits apart, ONE
+``(w >> (b*p)) & pair_mask | 0x4380'4380``-style op sequence extracts TWO
+codes directly as exact bf16 values ``2**m + c``, so the fused kernels
+dequantize at ~1.5-2 VPU ops/value instead of ~4-5 (shift, and, concat,
+int cast, sub, mul).  3-bit is a 2-bit plane (codes >> 1) followed by a
+1-bit plane (codes & 1), each pair-planar: exactly 3 bits/weight.
+
+This keeps exactly ``nbits`` bits per weight for every width (the
+reference's 10-per-int32 3-bit layout wastes 2/32 and cannot vectorize
+here), and block-aligned packing so kernels unpack one K-tile at a time
+with full-slab vector ops.
 
 All functions are pure jnp and run on CPU or TPU.
 """
@@ -59,31 +68,33 @@ def pick_superblock(K: int, group_size: int = 128,
 def _pack_pow2_group(codes: jnp.ndarray, nbits: int) -> jnp.ndarray:
     """Pack ``[G, g, N]`` int codes (0 <= c < 2**nbits) -> ``[G, g*b/32, N]``.
 
-    Planar within the group: ``vals_per_word = 32 // nbits`` slices of
-    ``rows = g * b / 32`` rows each are OR-ed at descending shifts.
+    Pair-planar: value at block row ``p*2R + 2r + h`` goes to word row
+    ``r`` at bit offset ``16*h + nbits*p`` (see module docstring).
     """
     G, g, N = codes.shape
     rows = g * nbits // 32
-    vals_per_word = 32 // nbits
-    c = codes.astype(jnp.uint32).reshape(G, vals_per_word, rows, N)
+    P = 16 // nbits
+    c = codes.astype(jnp.uint32).reshape(G, P, rows, 2, N)
     word = jnp.zeros((G, rows, N), dtype=jnp.uint32)
-    for i in range(vals_per_word):
-        shift = nbits * (vals_per_word - 1 - i)
-        word = word | (c[:, i] << shift)
+    for p in range(P):
+        for h in range(2):
+            word = word | (c[:, p, :, h] << (16 * h + nbits * p))
     return word
 
 
 def _unpack_pow2_group(words: jnp.ndarray, nbits: int, group_size: int) -> jnp.ndarray:
     """Inverse of :func:`_pack_pow2_group`: ``[G, rows, N]`` -> ``[G, g, N]``."""
     G, rows, N = words.shape
-    vals_per_word = 32 // nbits
+    P = 16 // nbits
     mask = jnp.uint32(2**nbits - 1)
     parts = []
-    for i in range(vals_per_word):
-        shift = nbits * (vals_per_word - 1 - i)
-        parts.append((words >> shift) & mask)
-    out = jnp.stack(parts, axis=1).reshape(G, group_size, N)
-    return out
+    for p in range(P):
+        lo = (words >> (nbits * p)) & mask          # h = 0
+        hi = (words >> (16 + nbits * p)) & mask     # h = 1
+        parts.append(jnp.stack([lo, hi], axis=3))   # [G, rows, N, 2]
+    out = jnp.stack(parts, axis=1)                  # [G, P, rows, N, 2]
+    out = jnp.moveaxis(out, 4, 3)                   # [G, P, rows, 2, N]
+    return out.reshape(G, group_size, N)
 
 
 def pack(codes: jnp.ndarray, nbits: int, group_size: int = 128) -> jnp.ndarray:

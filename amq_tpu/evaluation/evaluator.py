@@ -90,9 +90,10 @@ class Evaluator:
             # (evaluator.py:46-52); host keeps HBM for the working model
             self.dense_logits: Dict[str, np.ndarray] = {}
             if dense_params is not None:
+                dense_stacked = llama.stack_dense(dense_params)
                 for name, toks in self.datasets.items():
                     self.dense_logits[name] = self._batched_logits(
-                        dense_params, toks)
+                        dense_stacked, toks)
         else:
             assert dense_params is not None
             self.model_params = dense_params
@@ -104,6 +105,12 @@ class Evaluator:
         if isinstance(params, StackedModel):
             logits, _ = forward_stacked(params, self.cfg, tokens,
                                         compute_dtype=self.compute_dtype)
+        elif isinstance(params, llama.DenseStacked):
+            # scan-over-layers dense forward: O(1) program size in depth,
+            # required for the FP16 logit cache at 7B+ (the unrolled
+            # forward exceeds the remote compiler's program-size limit)
+            logits, _ = llama.forward_dense(params, self.cfg, tokens,
+                                            compute_dtype=self.compute_dtype)
         else:
             logits, _ = llama.forward(params, self.cfg, tokens,
                                       compute_dtype=self.compute_dtype)

@@ -33,11 +33,13 @@ from .linear import DenseLinear, LinearParams, apply_linear
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Preallocated per-layer K/V buffers: ``[n_layers, B, max_len, n_kv, hd]``.
+    """Preallocated per-layer K/V buffers: ``[n_layers, B, n_kv, max_len, hd]``.
 
     Replaces the reference's persistent interleaved CUDA cache buffers
-    (ftllama_modeling.py:61-68); layout keeps head_dim in lanes and
-    sequence in sublanes, which is what the decode attention wants.
+    (ftllama_modeling.py:61-68).  Layout puts head_dim in lanes and the
+    sequence in sublanes *per head*, so each (batch, head) slice is a
+    contiguous ``[T, hd]`` tile — what both the XLA decode attention and
+    the blockwise flash kernel (ops/flash_attention.py) want to DMA.
     """
 
     k: jnp.ndarray
@@ -47,7 +49,7 @@ class KVCache:
     @classmethod
     def create(cls, cfg: ModelConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> "KVCache":
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim_)
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim_)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    length=jnp.zeros((), jnp.int32))
 
@@ -98,19 +100,54 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _attention(q, k, v, mask, compute_dtype):
-    """q: [B,S,Hq,hd], k/v: [B,T,Hkv,hd], mask: [B?,1,S,T] additive."""
+    """q: [B,S,Hq,hd], k/v: [B,Hkv,T,hd], mask: [B?,1,S,T] additive.
+
+    GQA is a grouped einsum over [Hkv, G] — K/V are never materialized at
+    Hq width (a ``jnp.repeat`` would stream the expanded KV through HBM
+    exactly where decode is bandwidth-bound).
+    """
     B, S, Hq, hd = q.shape
-    Hkv = k.shape[2]
-    if Hq != Hkv:
-        k = jnp.repeat(k, Hq // Hkv, axis=2)
-        v = jnp.repeat(v, Hq // Hkv, axis=2)
-    scores = jnp.einsum("bshd,bthd->bhst", q, k,
+    Hkv = k.shape[1]
+    G = Hq // Hkv
+    qg = q.reshape(B, S, Hkv, G, hd)
+    scores = jnp.einsum("bskgd,bktd->bkgst", qg, k,
                         preferred_element_type=jnp.float32)
-    scores = scores / jnp.sqrt(jnp.float32(hd)) + mask
+    scores = scores / jnp.sqrt(jnp.float32(hd)) + mask[:, :, None]
     probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
-    out = jnp.einsum("bhst,bthd->bshd", probs, v,
+    out = jnp.einsum("bkgst,bktd->bskgd", probs, v,
                      preferred_element_type=jnp.float32)
-    return out.astype(compute_dtype)
+    return out.reshape(B, S, Hq, hd).astype(compute_dtype)
+
+
+def _flash_ok(S: int, T: int, cfg: ModelConfig) -> bool:
+    """Use the blockwise Pallas attention? (trace-time decision)
+
+    Flash covers the prefill/eval regime: long-enough S on a TPU backend,
+    pure causal(+offset) masking.  Decode (tiny S) stays on the einsum
+    path, as does CPU (no Mosaic) and a sliding window actually in range.
+    """
+    import os
+    if os.environ.get("AMQ_FLASH", "1") == "0":
+        return False
+    if S < 128 or S % 64 or T % 64:
+        return False
+    if cfg.sliding_window is not None and T > cfg.sliding_window:
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def attention(q, k, v, mask, offset, S: int, T: int, cfg: ModelConfig,
+              compute_dtype):
+    """Dispatch between the flash kernel and the einsum fallback.
+
+    q: [B,S,Hq,hd]; k/v: [B,Hkv,T,hd]; returns [B,S,Hq,hd].
+    """
+    if _flash_ok(S, T, cfg):
+        from ..ops.flash_attention import flash_attention
+        qt = jnp.transpose(q, (0, 2, 1, 3))          # [B,Hq,S,d]
+        out = flash_attention(qt, k, v, offset)
+        return jnp.transpose(out, (0, 2, 1, 3)).astype(compute_dtype)
+    return _attention(q, k, v, mask, compute_dtype)
 
 
 def _causal_mask(S: int, T: int, offset: jnp.ndarray,
@@ -189,20 +226,24 @@ def attn_block(layer: Dict[str, Any], cfg: ModelConfig, h: jnp.ndarray,
     v = v.reshape(B, S, cfg.num_kv_heads, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    k = jnp.transpose(k, (0, 2, 1, 3))   # [B, Hkv, S, hd]
+    v = jnp.transpose(v, (0, 2, 1, 3))
 
     new_kv = None
     if cache_kv is not None:
-        k_buf, v_buf = cache_kv  # [B, max_len, n_kv, hd]
+        k_buf, v_buf = cache_kv  # [B, n_kv, max_len, hd]
         k_buf = jax.lax.dynamic_update_slice_in_dim(
-            k_buf, k.astype(k_buf.dtype), cache_pos, axis=1)
+            k_buf, k.astype(k_buf.dtype), cache_pos, axis=2)
         v_buf = jax.lax.dynamic_update_slice_in_dim(
-            v_buf, v.astype(v_buf.dtype), cache_pos, axis=1)
+            v_buf, v.astype(v_buf.dtype), cache_pos, axis=2)
         new_kv = (k_buf, v_buf)
         k_att, v_att = k_buf.astype(compute_dtype), v_buf.astype(compute_dtype)
     else:
         k_att, v_att = k, v
 
-    att = _attention(q, k_att, v_att, mask, compute_dtype)
+    T = k_att.shape[2]
+    offset = cache_pos if cache_pos is not None else jnp.int32(0)
+    att = attention(q, k_att, v_att, mask, offset, S, T, cfg, compute_dtype)
     att = att.reshape(B, S, cfg.num_heads * hd)
     out = apply_linear(layer["self_attn.o_proj"], att, compute_dtype)
     return out, new_kv, att
@@ -231,7 +272,7 @@ def forward(
 
     if cache is not None:
         offset = cache.length
-        T = cache.k.shape[2]
+        T = cache.k.shape[3]
     else:
         offset = jnp.int32(0)
         T = S
@@ -263,6 +304,142 @@ def forward(
     if cache is not None:
         new_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
                             length=cache.length + S)
+    return logits.astype(jnp.float32), new_cache
+
+
+# ---------------------------------------------------------------------------
+# dense scan-over-layers forward
+#
+# The unrolled ``forward`` above emits O(depth) HLO; the axon remote
+# compiler rejects programs that large at 7B+ (HTTP 413).  The dense FP16
+# logit cache / final-mode PPL (the role of the reference's
+# evaluation/evaluator.py:46-52 dense pass) therefore needs the same
+# scan-over-stacked-layers structure the quantized paths already use.
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DenseStacked:
+    """Dense decoder with all per-layer params stacked on a leading L dim."""
+
+    embed: jnp.ndarray
+    final_norm: jnp.ndarray
+    lm_head: Optional[jnp.ndarray]            # [vocab, H] or None (tied)
+    input_norm: jnp.ndarray                   # [L, H]
+    post_norm: jnp.ndarray                    # [L, H]
+    weights: Dict[str, jnp.ndarray]           # name -> [L, out, in]
+    biases: Dict[str, Optional[jnp.ndarray]]  # name -> [L, out] or None
+    num_layers: int = dataclasses.field(metadata=dict(static=True))
+
+
+def stack_dense(params: Dict[str, Any]) -> DenseStacked:
+    """Fold an init_params/load_hf_params pytree into a DenseStacked."""
+    layers = params["layers"]
+    L = len(layers)
+    weights = {name: jnp.stack([layers[i][name].weight for i in range(L)])
+               for name in LINEAR_NAMES}
+    biases = {}
+    for name in LINEAR_NAMES:
+        b0 = layers[0][name].bias
+        biases[name] = (None if b0 is None else
+                        jnp.stack([layers[i][name].bias for i in range(L)]))
+    head = params.get("lm_head")
+    return DenseStacked(
+        embed=params["embed"], final_norm=params["final_norm"],
+        lm_head=None if head is None else head.weight,
+        input_norm=jnp.stack([layers[i]["input_norm"] for i in range(L)]),
+        post_norm=jnp.stack([layers[i]["post_norm"] for i in range(L)]),
+        weights=weights, biases=biases, num_layers=L)
+
+
+def forward_dense(
+    model: DenseStacked,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,                 # [B, S]
+    cache: Optional[KVCache] = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Dense forward as a lax.scan over stacked layers (O(1) program size).
+
+    Numerics match ``forward`` exactly (same blocks, same dtypes); only the
+    loop structure differs.  Per-layer weights ride the scan as xs so XLA
+    streams one layer's params at a time.
+    """
+    B, S = tokens.shape
+    hd = cfg.head_dim_
+    x = model.embed[tokens].astype(compute_dtype)
+
+    if cache is not None:
+        offset = cache.length
+        T = cache.k.shape[3]
+    else:
+        offset = jnp.int32(0)
+        T = S
+    positions = jnp.arange(S, dtype=jnp.int32)[None, :] + offset
+    cos, sin = rope_cos_sin(cfg, positions, dtype=compute_dtype)
+    mask = _causal_mask(S, T, offset, cfg.sliding_window)
+    has_cache = cache is not None
+
+    def proj(w, b, h):
+        y = jnp.dot(h.astype(compute_dtype), w.T.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        return y.astype(compute_dtype)
+
+    def layer_fn(x, xs):
+        lw = xs["w"]
+        lb = xs["b"]
+        k_buf = xs.get("k")
+        v_buf = xs.get("v")
+        h = rms_norm(x, xs["input_norm"], cfg.rms_norm_eps)
+        q = proj(lw["self_attn.q_proj"], lb.get("self_attn.q_proj"), h)
+        k = proj(lw["self_attn.k_proj"], lb.get("self_attn.k_proj"), h)
+        v = proj(lw["self_attn.v_proj"], lb.get("self_attn.v_proj"), h)
+        q = apply_rope(q.reshape(B, S, cfg.num_heads, hd), cos, sin)
+        k = apply_rope(k.reshape(B, S, cfg.num_kv_heads, hd), cos, sin)
+        k = jnp.transpose(k, (0, 2, 1, 3))
+        v = jnp.transpose(v.reshape(B, S, cfg.num_kv_heads, hd), (0, 2, 1, 3))
+        if has_cache:
+            k_buf = jax.lax.dynamic_update_slice_in_dim(
+                k_buf, k.astype(k_buf.dtype), offset, axis=2)
+            v_buf = jax.lax.dynamic_update_slice_in_dim(
+                v_buf, v.astype(v_buf.dtype), offset, axis=2)
+            k_att = k_buf.astype(compute_dtype)
+            v_att = v_buf.astype(compute_dtype)
+        else:
+            k_att, v_att = k, v
+        att = attention(q, k_att, v_att, mask, offset, S, k_att.shape[2],
+                        cfg, compute_dtype)
+        att = att.reshape(B, S, cfg.num_heads * hd)
+        x = x + proj(lw["self_attn.o_proj"], lb.get("self_attn.o_proj"), att)
+
+        h = rms_norm(x, xs["post_norm"], cfg.rms_norm_eps)
+        gate = proj(lw["mlp.gate_proj"], lb.get("mlp.gate_proj"), h)
+        up = proj(lw["mlp.up_proj"], lb.get("mlp.up_proj"), h)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(compute_dtype) * up
+        x = x + proj(lw["mlp.down_proj"], lb.get("mlp.down_proj"), act)
+        ys = (k_buf, v_buf) if has_cache else None
+        return x, ys
+
+    xs = {
+        "w": model.weights,
+        "b": {n: b for n, b in model.biases.items() if b is not None},
+        "input_norm": model.input_norm,
+        "post_norm": model.post_norm,
+    }
+    if has_cache:
+        xs["k"] = cache.k
+        xs["v"] = cache.v
+    x, ys = jax.lax.scan(layer_fn, x, xs)
+
+    x = rms_norm(x, model.final_norm, cfg.rms_norm_eps)
+    head = model.lm_head if model.lm_head is not None else model.embed
+    logits = jnp.dot(x, head.T.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+
+    new_cache = None
+    if has_cache:
+        new_cache = KVCache(k=ys[0], v=ys[1], length=cache.length + S)
     return logits.astype(jnp.float32), new_cache
 
 

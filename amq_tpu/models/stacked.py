@@ -310,7 +310,7 @@ def forward_stacked(
 
     if cache is not None:
         offset = cache.length
-        T = cache.k.shape[2]
+        T = cache.k.shape[3]
     else:
         offset = jnp.int32(0)
         T = S
@@ -345,18 +345,20 @@ def forward_stacked(
                             bit_idx)
         q = llama.apply_rope(q.reshape(B, S, cfg.num_heads, hd), cos, sin)
         k = llama.apply_rope(k.reshape(B, S, cfg.num_kv_heads, hd), cos, sin)
-        v = v.reshape(B, S, cfg.num_kv_heads, hd)
+        k = jnp.transpose(k, (0, 2, 1, 3))    # [B, Hkv, S, hd]
+        v = jnp.transpose(v.reshape(B, S, cfg.num_kv_heads, hd), (0, 2, 1, 3))
 
         if has_cache:
             k_buf = jax.lax.dynamic_update_slice_in_dim(
-                k_buf, k.astype(k_buf.dtype), offset, axis=1)
+                k_buf, k.astype(k_buf.dtype), offset, axis=2)
             v_buf = jax.lax.dynamic_update_slice_in_dim(
-                v_buf, v.astype(v_buf.dtype), offset, axis=1)
+                v_buf, v.astype(v_buf.dtype), offset, axis=2)
             k_att = k_buf.astype(compute_dtype)
             v_att = v_buf.astype(compute_dtype)
         else:
             k_att, v_att = k, v
-        att = llama._attention(q, k_att, v_att, mask, compute_dtype)
+        att = llama.attention(q, k_att, v_att, mask, offset, S,
+                              k_att.shape[2], cfg, compute_dtype)
         att = att.reshape(B, S, cfg.num_heads * hd)
         o = _apply_site(model, "self_attn.o_proj", i, att, compute_dtype,
                         bit_idx)

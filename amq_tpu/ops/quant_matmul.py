@@ -47,42 +47,85 @@ def _pick_tile(dim: int, candidates) -> int:
     raise ValueError(f"dimension {dim} not tileable by {candidates}")
 
 
-def _unpack_plane(w, shift, nbits):
-    mask = jnp.uint32(2**nbits - 1)
-    return (w >> jnp.uint32(shift)) & mask
+#: bf16 bit pattern 0x4300 = 128.0 with a 7-bit-mantissa ulp of 1 —
+#: OR-ing a code c <= 127 into the mantissa yields exactly 128 + c
+_BF16_128 = 0x43004300
+
+
+def _extract_pairs_bf16(words, field_bits, shifts):
+    """Pair extraction: ``[R, bn]`` uint32 -> list of bf16 ``[2R, bn]``.
+
+    For each shift s: ``(w >> s) & pair_mask | 0x4300_4300`` bitcast to
+    bf16 gives TWO exact values ``128 + c`` per word (codes sit 16 bits
+    apart in the pair-planar layout, and Mosaic's 32->16-bit bitcast maps
+    word row r to rows (2r, 2r+1) = (low, high) — probe_bitcast.py).
+    Cost: 3 VPU ops per 2 values.
+    """
+    mask = (1 << field_bits) - 1
+    pm = jnp.uint32((mask << 16) | mask)
+    const = jnp.uint32(_BF16_128)
+    return [pltpu.bitcast(((words >> jnp.uint32(s)) & pm) | const,
+                          jnp.bfloat16)
+            for s in shifts]
 
 
 def _dequant_tile(w_blk, s_blk, z_blk, nbits, group_size, T, bn, acc_dtype):
-    """Unpack+dequantize one superblock tile ``[sb, bn]`` with full-slab ops.
+    """Unpack+dequantize one superblock tile -> ``[T, group_size, bn]``.
 
-    The packing is planar over the whole superblock (bitpack.pack with the
-    superblock as its block), so shift plane j of the ENTIRE packed tile
-    is the contiguous value chunk ``[j*R:(j+1)*R]`` — every extraction is
-    one full-block vector op and the concat is in natural K order.  (The
-    earlier per-128-group layout needed sub-sublane-tile slices; on v5e
-    that made 3-bit unpack ~7x slower than 4-bit.)
+    Pair-planar extraction (see core/bitpack.py): codes come out of the
+    bitcast as exact bf16 values ``128 + c`` in natural K order, so
+    dequantization is one fused multiply-add per value with the offset
+    folded into the zero-point:
+
+        w = (c - z) * s = fma(c_bf, s, -(z + 128) * s)
+
+    ``acc_dtype`` = bf16 runs the fma in bf16 (serving; meta rounding
+    ~2^-8 relative), f32 casts up first (eval parity with the XLA
+    reference path).
     """
-    s = s_blk.reshape(T, 1, bn).astype(acc_dtype)
-    z = z_blk.reshape(T, 1, bn).astype(acc_dtype)
+    s = s_blk.reshape(T, 1, bn)
+    z = z_blk.reshape(T, 1, bn)
     sb = T * group_size
-
-    def extract(block, b):
-        vpw = 32 // b
-        planes = [_unpack_plane(block, b * (vpw - 1 - j), b)
-                  for j in range(vpw)]
-        return jnp.concatenate(planes, axis=0)             # [sb, bn]
+    bf16 = acc_dtype == jnp.bfloat16
+    # in bf16 the 128-offset must be subtracted BEFORE scaling: 128 + c is
+    # exact (ulp 1 in [128, 256)), and (128 + c) - 128 = c is exact, so
+    # the remaining (c - z) * s carries only quant-step-scale rounding;
+    # an fma against (z + 128) * s instead would round at the 128*s
+    # magnitude (~half a quantization step of error)
+    c128 = jnp.bfloat16(128.0)
 
     if nbits == 3:
         hi_rows = packed_rows(sb, 2)
-        hi = extract(w_blk[:hi_rows, :], 2)                # (codes >> 1)
-        lo = extract(w_blk[hi_rows:, :], 1)                # (codes & 1)
-        codes = (hi << 1) | lo
+        hi = _extract_pairs_bf16(w_blk[:hi_rows, :], 2, range(0, 16, 2))
+        lo = _extract_pairs_bf16(w_blk[hi_rows:, :], 1, range(16))
+        cat_hi = jnp.concatenate(hi, axis=0)               # 128 + (c >> 1)
+        cat_lo = jnp.concatenate(lo, axis=0)               # 128 + (c & 1)
+        if bf16:
+            codes = (cat_hi - c128) * jnp.bfloat16(2.0) + (cat_lo - c128)
+        else:
+            codes = ((cat_hi.astype(jnp.float32) - 128.0) * 2.0
+                     + (cat_lo.astype(jnp.float32) - 128.0))
+    elif nbits == 8:
+        # two exact-bf16 nibble planes recombined as 16*hi4 + lo4 in f32
+        # (a single 8-bit field would overflow the 7-bit mantissa)
+        hi = _extract_pairs_bf16(w_blk, 4, (4, 12))
+        lo = _extract_pairs_bf16(w_blk, 4, (0, 8))
+        codes = ((jnp.concatenate(hi, axis=0).astype(jnp.float32) - 128.0)
+                 * 16.0
+                 + jnp.concatenate(lo, axis=0).astype(jnp.float32) - 128.0)
+        bf16 = False
     else:
-        codes = extract(w_blk, nbits)
-
+        P = 16 // nbits
+        chunks = _extract_pairs_bf16(w_blk, nbits,
+                                     [nbits * p for p in range(P)])
+        cat = jnp.concatenate(chunks, axis=0)              # 128 + c
+        codes = cat - c128 if bf16 else cat.astype(jnp.float32) - 128.0
     codes = codes.reshape(T, group_size, bn)
-    # Mosaic has no uint32 -> bf16 cast; hop through int32
-    return ((codes.astype(jnp.int32).astype(acc_dtype) - z) * s)
+
+    if bf16:
+        return (codes - z.astype(jnp.bfloat16)) * s.astype(jnp.bfloat16)
+    return ((codes - z.astype(jnp.float32))
+            * s.astype(jnp.float32)).astype(acc_dtype)
 
 
 def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,

@@ -127,8 +127,9 @@ def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
 
 
 def cache_specs() -> llama.KVCache:
-    return llama.KVCache(k=P(None, "data", None, "tensor", None),
-                         v=P(None, "data", None, "tensor", None),
+    # [L, B, kv, T, hd]: batch over 'data', kv heads over 'tensor'
+    return llama.KVCache(k=P(None, "data", "tensor", None, None),
+                         v=P(None, "data", "tensor", None, None),
                          length=P())
 
 

@@ -37,14 +37,14 @@ from ..models.stacked import (StackedModel, forward_stacked, _apply_site,
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SlotCache:
-    k: jnp.ndarray        # [L, B, T, kv, hd]
+    k: jnp.ndarray        # [L, B, kv, T, hd]
     v: jnp.ndarray
     lengths: jnp.ndarray  # [B] int32
 
     @classmethod
     def create(cls, cfg: ModelConfig, n_slots: int, max_len: int,
                dtype=jnp.bfloat16) -> "SlotCache":
-        shape = (cfg.num_layers, n_slots, max_len, cfg.num_kv_heads,
+        shape = (cfg.num_layers, n_slots, cfg.num_kv_heads, max_len,
                  cfg.head_dim_)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    lengths=jnp.zeros((n_slots,), jnp.int32))
@@ -74,8 +74,8 @@ def prefill_slot(model, cfg: ModelConfig, tokens: jnp.ndarray,  # [1, S] padded
     S = tokens.shape[1]
     assert S == slot_len
     tmp = llama.KVCache(
-        k=jnp.zeros_like(cache.k[:, :1, :S]),
-        v=jnp.zeros_like(cache.v[:, :1, :S]),
+        k=jnp.zeros_like(cache.k[:, :1, :, :S]),
+        v=jnp.zeros_like(cache.v[:, :1, :, :S]),
         length=jnp.int32(0))
     with kernel_linears(impl):
         logits, tmp = _model_forward(model, cfg, tokens, tmp, compute_dtype)
@@ -97,7 +97,7 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
                  impl=None):
     """One decode token for every active slot.  Returns (next [B], cache)."""
     B = tokens.shape[0]
-    T = cache.k.shape[2]
+    T = cache.k.shape[3]
     hd = cfg.head_dim_
 
     x = model.embed[tokens][:, None, :].astype(compute_dtype)  # [B, 1, H]
@@ -111,9 +111,9 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
     fused = "self_attn.qkv_proj" in model.sites
 
     def write(buf, new, pos):
-        # buf [B, T, kv, hd]; new [B, 1, kv, hd]; pos [B]
+        # buf [B, kv, T, hd]; new [B, kv, 1, hd]; pos [B]
         return jax.vmap(
-            lambda b, n, p: jax.lax.dynamic_update_slice_in_dim(b, n, p, 0)
+            lambda b, n, p: jax.lax.dynamic_update_slice_in_dim(b, n, p, 1)
         )(buf, new, pos)
 
     def layer_fn(x, xs):
@@ -133,7 +133,9 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
             vv = _apply_site(model, "self_attn.v_proj", i, h, compute_dtype)
         q = llama.apply_rope(q.reshape(B, 1, cfg.num_heads, hd), cos, sin)
         kk = llama.apply_rope(kk.reshape(B, 1, cfg.num_kv_heads, hd), cos, sin)
-        vv = vv.reshape(B, 1, cfg.num_kv_heads, hd)
+        kk = jnp.transpose(kk, (0, 2, 1, 3))   # [B, kv, 1, hd]
+        vv = jnp.transpose(vv.reshape(B, 1, cfg.num_kv_heads, hd),
+                           (0, 2, 1, 3))
 
         k_buf = write(k_buf, kk.astype(k_buf.dtype), cache.lengths)
         v_buf = write(v_buf, vv.astype(v_buf.dtype), cache.lengths)

@@ -25,10 +25,13 @@ extern "C" {
 // layout: per group of g K-rows, planar within the group (see bitpack.py);
 // 3-bit = 2-bit plane (code >> 1) followed by 1-bit plane (code & 1).
 
+// pair-planar order (bitpack.py): value at block row p*2R + 2r + h lives
+// in word r at bit offset 16*h + b*p (two codes 16 bits apart per round,
+// so the TPU kernels extract a bf16 pair per shift+and+or).
 static void pack_pow2(const uint32_t* codes, uint32_t* out, int64_t K,
                       int64_t N, int64_t g, int b, int shift_in,
                       uint32_t mask_in, int64_t out_stride_rows) {
-  const int64_t vals_per_word = 32 / b;
+  const int64_t rounds = 16 / b;
   const int64_t rows = g * b / 32;  // packed rows per group
   const int64_t G = K / g;
   for (int64_t grp = 0; grp < G; ++grp) {
@@ -37,12 +40,14 @@ static void pack_pow2(const uint32_t* codes, uint32_t* out, int64_t K,
     for (int64_t r = 0; r < rows; ++r) {
       uint32_t* row_out = dst + r * N;
       std::memset(row_out, 0, sizeof(uint32_t) * N);
-      for (int64_t i = 0; i < vals_per_word; ++i) {
-        const int shift = b * (vals_per_word - 1 - i);
-        const uint32_t* row_in = src + (i * rows + r) * N;
-        for (int64_t n = 0; n < N; ++n) {
-          uint32_t v = (row_in[n] >> shift_in) & mask_in;
-          row_out[n] |= v << shift;
+      for (int64_t p = 0; p < rounds; ++p) {
+        for (int64_t h = 0; h < 2; ++h) {
+          const int shift = 16 * h + b * p;
+          const uint32_t* row_in = src + (p * 2 * rows + 2 * r + h) * N;
+          for (int64_t n = 0; n < N; ++n) {
+            uint32_t v = (row_in[n] >> shift_in) & mask_in;
+            row_out[n] |= v << shift;
+          }
         }
       }
     }
@@ -52,7 +57,7 @@ static void pack_pow2(const uint32_t* codes, uint32_t* out, int64_t K,
 static void unpack_pow2(const uint32_t* words, uint32_t* out, int64_t K,
                         int64_t N, int64_t g, int b, int shift_out,
                         int64_t in_stride_rows, bool accumulate) {
-  const int64_t vals_per_word = 32 / b;
+  const int64_t rounds = 16 / b;
   const int64_t rows = g * b / 32;
   const int64_t G = K / g;
   const uint32_t mask = (1u << b) - 1u;
@@ -61,15 +66,17 @@ static void unpack_pow2(const uint32_t* words, uint32_t* out, int64_t K,
     uint32_t* dst = out + grp * g * N;
     for (int64_t r = 0; r < rows; ++r) {
       const uint32_t* row_in = src + r * N;
-      for (int64_t i = 0; i < vals_per_word; ++i) {
-        const int shift = b * (vals_per_word - 1 - i);
-        uint32_t* row_out = dst + (i * rows + r) * N;
-        if (accumulate) {
-          for (int64_t n = 0; n < N; ++n)
-            row_out[n] |= ((row_in[n] >> shift) & mask) << shift_out;
-        } else {
-          for (int64_t n = 0; n < N; ++n)
-            row_out[n] = ((row_in[n] >> shift) & mask) << shift_out;
+      for (int64_t p = 0; p < rounds; ++p) {
+        for (int64_t h = 0; h < 2; ++h) {
+          const int shift = 16 * h + b * p;
+          uint32_t* row_out = dst + (p * 2 * rows + 2 * r + h) * N;
+          if (accumulate) {
+            for (int64_t n = 0; n < N; ++n)
+              row_out[n] |= ((row_in[n] >> shift) & mask) << shift_out;
+          } else {
+            for (int64_t n = 0; n < N; ++n)
+              row_out[n] = ((row_in[n] >> shift) & mask) << shift_out;
+          }
         }
       }
     }

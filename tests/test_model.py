@@ -125,3 +125,48 @@ def test_set_arch_does_not_retrace(tiny):
         arch = {"linear": {l: list(bits) for l in LINEAR_NAMES}}
         run(set_arch(switch, arch, bits_range), tokens)
     assert count["n"] == 1, f"retraced {count['n']} times"
+
+
+def test_forward_dense_matches_unrolled(tiny):
+    """Dense scan-over-layers forward (llama.forward_dense) must equal the
+    unrolled forward bit-for-bit in structure (same blocks, same dtypes);
+    required for the FP16 logit cache at 7B+ (remote compiler size limit)."""
+    from amq_tpu.models import llama
+    cfg, params = tiny
+    toks = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.vocab_size, (2, 32)),
+        jnp.int32)
+    ref, _ = llama.forward(params, cfg, toks)
+    stacked = llama.stack_dense(params)
+    out, _ = llama.forward_dense(stacked, cfg, toks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_forward_dense_cache_matches(tiny):
+    """Incremental prefill+decode through forward_dense == full forward."""
+    from amq_tpu.models import llama
+    cfg, params = tiny
+    rng = np.random.default_rng(4)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 12)), jnp.int32)
+    full, _ = llama.forward(params, cfg, toks)
+    stacked = llama.stack_dense(params)
+    cache = llama.KVCache.create(cfg, 1, 16, dtype=jnp.float32)
+    lp, cache = llama.forward_dense(stacked, cfg, toks[:, :8], cache=cache)
+    ld, cache = llama.forward_dense(stacked, cfg, toks[:, 8:], cache=cache)
+    np.testing.assert_allclose(np.asarray(ld[:, -1]),
+                               np.asarray(full[:, -1]), rtol=1e-4, atol=1e-4)
+
+
+def test_forward_dense_qwen_bias():
+    """qkv_bias + tied embeddings path through the dense scan."""
+    from amq_tpu.models import llama
+    cfg = get_config("tiny-qwen2")
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    toks = jnp.asarray(
+        np.random.default_rng(5).integers(0, cfg.vocab_size, (1, 16)),
+        jnp.int32)
+    ref, _ = llama.forward(params, cfg, toks)
+    out, _ = llama.forward_dense(llama.stack_dense(params), cfg, toks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
