@@ -110,10 +110,14 @@ def _attention(q, k, v, mask, compute_dtype):
     Hkv = k.shape[1]
     G = Hq // Hkv
     qg = q.reshape(B, S, Hkv, G, hd)
+    if jax.default_backend() == "cpu":
+        # the CPU dot thunk has no bf16 x bf16 -> f32 path for this
+        # grouped contraction (hit under shard_map); MXU does natively
+        qg, k, v = (t.astype(jnp.float32) for t in (qg, k, v))
     scores = jnp.einsum("bskgd,bktd->bkgst", qg, k,
                         preferred_element_type=jnp.float32)
     scores = scores / jnp.sqrt(jnp.float32(hd)) + mask[:, :, None]
-    probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(k.dtype)
     out = jnp.einsum("bkgst,bktd->bskgd", probs, v,
                      preferred_element_type=jnp.float32)
     return out.reshape(B, S, Hq, hd).astype(compute_dtype)
