@@ -20,8 +20,14 @@ def main(argv=None):
     p.add_argument("--save_path", type=str, required=True)
     p.add_argument("--no_optimize", action="store_true",
                    help="skip the proximal zero-point solver")
+    p.add_argument("--meta_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="scale/zero storage dtype; bfloat16 mirrors the "
+                        "reference's fp16 HQQ meta and halves the serving "
+                        "metadata stream")
     args = p.parse_args(argv)
     setup_jax(args)
+    import jax.numpy as jnp
 
     from ..models import quantize_model
     from ..utils.checkpoint import save_quantized
@@ -29,7 +35,8 @@ def main(argv=None):
     cfg, params = load_model(args)
     for b in args.nbits:
         q = quantize_model(params, cfg, b, group_size=args.group_size,
-                           optimize=not args.no_optimize)
+                           optimize=not args.no_optimize,
+                           meta_dtype=getattr(jnp, args.meta_dtype))
         # path schema mirrors {model}_{n}bit_128gs_1axis (reference scripts)
         out = os.path.join(args.save_path,
                            f"{cfg.name}_{b}bit_{args.group_size}gs_1axis")

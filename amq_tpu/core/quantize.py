@@ -121,7 +121,7 @@ def optimize_zero_proximal(
 
 
 @partial(jax.jit, static_argnames=("nbits", "group_size", "optimize",
-                                   "round_zero", "compute_dtype",
+                                   "round_zero", "meta_dtype",
                                    "superblock"))
 def quantize(
     W: jnp.ndarray,
@@ -129,13 +129,21 @@ def quantize(
     group_size: int = 128,
     optimize: bool = True,
     round_zero: Optional[bool] = None,
-    compute_dtype=jnp.float32,
+    meta_dtype=jnp.float32,
     superblock: Optional[int] = None,
 ) -> QuantizedTensor:
     """HQQ-quantize an ``[out, in]`` weight into a :class:`QuantizedTensor`.
 
     ``round_zero`` defaults to ``nbits == 4`` as in the reference config
     factory (hqq/core/quantize.py:1097).
+
+    ``meta_dtype`` is the scale/zero storage dtype.  float32 keeps exact
+    eval parity with the XLA reference path; bfloat16 halves the
+    per-group metadata stream for serving — the closest analogue of the
+    reference's fp16 meta on CUDA (HQQLinear stores half-precision
+    scale/zero).  Quality impact is bounded by one bf16 ulp on scale
+    (2^-8 relative) and zero (<= 0.06 quant steps), tested in
+    tests/test_quantize.py.
     """
     assert nbits in bitpack.SUPPORTED_BITS, nbits
     out_f, in_f = W.shape
@@ -165,8 +173,8 @@ def quantize(
 
     # store per [out, in/g] then transpose to the kernel's [in/g, out]
     n_groups_per_row = in_f // group_size
-    scale_t = (1.0 / scale).reshape(out_f, n_groups_per_row).T.astype(compute_dtype)
-    zero_t = zero.reshape(out_f, n_groups_per_row).T.astype(compute_dtype)
+    scale_t = (1.0 / scale).reshape(out_f, n_groups_per_row).T.astype(meta_dtype)
+    zero_t = zero.reshape(out_f, n_groups_per_row).T.astype(meta_dtype)
 
     codes_kn = W_q.reshape(out_f, in_f).T.astype(jnp.uint32)  # [K, N]
     # a tensor-parallel shard must own whole superblocks: callers that

@@ -33,12 +33,17 @@ def uniform_arch(cfg: ModelConfig, bits: int) -> Arch:
 def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
                    arch_or_bits, group_size: int = 128,
                    optimize: bool = True,
-                   superblock: int = 0) -> Dict[str, Any]:
+                   superblock: int = 0,
+                   meta_dtype=None) -> Dict[str, Any]:
     """Quantize every decoder linear; embeddings/norms/lm_head stay dense.
 
     ``superblock`` caps the planar packing block (pass the tensor-parallel
-    shard granularity when the model will be K-sharded).
+    shard granularity when the model will be K-sharded).  ``meta_dtype``
+    sets the scale/zero storage dtype (see core.quantize.quantize);
+    bfloat16 for serving proxies, float32 (default) for eval parity.
     """
+    import jax.numpy as jnp
+    meta_dtype = meta_dtype or jnp.float32
     arch = (uniform_arch(cfg, arch_or_bits)
             if isinstance(arch_or_bits, int) else arch_or_bits)
     out = dict(params)
@@ -50,7 +55,8 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
             assert isinstance(p, DenseLinear), (name, type(p))
             qt = qcore.quantize(p.weight, nbits=int(arch["linear"][name][i]),
                                 group_size=group_size, optimize=optimize,
-                                superblock=superblock or None)
+                                superblock=superblock or None,
+                                meta_dtype=meta_dtype)
             new_layer[name] = QuantLinear(qt=qt, bias=p.bias)
         out_layers.append(new_layer)
     out["layers"] = out_layers

@@ -116,21 +116,26 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
             lambda b, n, p: jax.lax.dynamic_update_slice_in_dim(b, n, p, 1)
         )(buf, new, pos)
 
-    def layer_fn(x, xs):
-        i, k_buf, v_buf = xs
+    uniform = model.uniform_select
+    first_site = next(iter(model.select))
+
+    def layer_body(i, x, k_buf, v_buf, bit_idx):
         h = llama.rms_norm(
             x, jax.lax.dynamic_index_in_dim(model.input_norm, i, 0, False),
             cfg.rms_norm_eps)
         if fused:
             qkv = _apply_site(model, "self_attn.qkv_proj", i, h,
-                              compute_dtype)
+                              compute_dtype, bit_idx)
             q = qkv[..., :cfg.q_dim]
             kk = qkv[..., cfg.q_dim:cfg.q_dim + cfg.kv_dim]
             vv = qkv[..., cfg.q_dim + cfg.kv_dim:]
         else:
-            q = _apply_site(model, "self_attn.q_proj", i, h, compute_dtype)
-            kk = _apply_site(model, "self_attn.k_proj", i, h, compute_dtype)
-            vv = _apply_site(model, "self_attn.v_proj", i, h, compute_dtype)
+            q = _apply_site(model, "self_attn.q_proj", i, h, compute_dtype,
+                            bit_idx)
+            kk = _apply_site(model, "self_attn.k_proj", i, h, compute_dtype,
+                             bit_idx)
+            vv = _apply_site(model, "self_attn.v_proj", i, h, compute_dtype,
+                             bit_idx)
         q = llama.apply_rope(q.reshape(B, 1, cfg.num_heads, hd), cos, sin)
         kk = llama.apply_rope(kk.reshape(B, 1, cfg.num_kv_heads, hd), cos, sin)
         kk = jnp.transpose(kk, (0, 2, 1, 3))   # [B, kv, 1, hd]
@@ -144,21 +149,40 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
                                v_buf.astype(compute_dtype), mask,
                                compute_dtype)
         att = att.reshape(B, 1, cfg.num_heads * hd)
-        o = _apply_site(model, "self_attn.o_proj", i, att, compute_dtype)
+        o = _apply_site(model, "self_attn.o_proj", i, att, compute_dtype,
+                        bit_idx)
         x = x + o
 
         h = llama.rms_norm(
             x, jax.lax.dynamic_index_in_dim(model.post_norm, i, 0, False),
             cfg.rms_norm_eps)
         if fused:
-            gu = _apply_site(model, "mlp.gateup_proj", i, h, compute_dtype)
+            gu = _apply_site(model, "mlp.gateup_proj", i, h, compute_dtype,
+                             bit_idx)
             gate = gu[..., :cfg.intermediate_size]
             up = gu[..., cfg.intermediate_size:]
         else:
-            gate = _apply_site(model, "mlp.gate_proj", i, h, compute_dtype)
-            up = _apply_site(model, "mlp.up_proj", i, h, compute_dtype)
-        down = _apply_down_swiglu(model, i, gate, up, compute_dtype)
+            gate = _apply_site(model, "mlp.gate_proj", i, h, compute_dtype,
+                               bit_idx)
+            up = _apply_site(model, "mlp.up_proj", i, h, compute_dtype,
+                             bit_idx)
+        down = _apply_down_swiglu(model, i, gate, up, compute_dtype, bit_idx)
         x = x + down
+        return x, k_buf, v_buf
+
+    def layer_fn(x, xs):
+        i, k_buf, v_buf = xs
+        if uniform:
+            # one whole-layer switch instead of 4 per-site switches (conds
+            # cost ~10s of us each inside the decode scan on this backend)
+            x, k_buf, v_buf = jax.lax.switch(
+                model.select[first_site][i],
+                [(lambda b: lambda op: layer_body(op[0], op[1], op[2],
+                                                  op[3], b))(b)
+                 for b in range(len(model.bits_range))],
+                (i, x, k_buf, v_buf))
+        else:
+            x, k_buf, v_buf = layer_body(i, x, k_buf, v_buf, None)
         return x, (k_buf, v_buf)
 
     with kernel_linears(impl):
