@@ -24,7 +24,7 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="random weights + synthetic calibration tokens")
     p.add_argument("--dataset", type=str, default="wikitext2",
-                   choices=["wikitext2", "c4", "synthetic"])
+                   help="wikitext2 | c4 | synthetic | local:<text file>")
     p.add_argument("--seqlen", type=int, default=2048)
     p.add_argument("--n_sample", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
@@ -66,15 +66,15 @@ def load_model(args) -> Tuple[Any, Dict[str, Any]]:
 
 def load_tokens(args, cfg, train: bool = True) -> np.ndarray:
     from ..evaluation import data as data_mod
-    if args.dataset == "synthetic" or args.synthetic:
+    if args.dataset == "synthetic" or (
+            args.synthetic and not args.dataset.startswith("local:")):
         return data_mod.synthetic_tokens(cfg.vocab_size,
                                          n_sample=args.n_sample,
                                          seqlen=args.seqlen, seed=args.seed)
     tok = None
     try:
-        from transformers import AutoTokenizer
-        tok = AutoTokenizer.from_pretrained(args.model_path or args.model_name,
-                                            use_fast=False)
+        from ..models.hf import load_tokenizer
+        tok = load_tokenizer(args.model_path or args.model_name)
     except Exception as e:  # pragma: no cover
         raise SystemExit(f"tokenizer unavailable ({e}); use --synthetic")
     return data_mod.get_loader(args.dataset, tokenizer=tok,

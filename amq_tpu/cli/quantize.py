@@ -72,6 +72,12 @@ def main(argv=None):
     for arch, metric, bits in selected:
         print(f"selected arch: loss={metric:.4f} bits={bits:.4f}")
 
+    # local:<file> runs calibrate from the same local corpus (train split
+    # semantics); hub datasets keep the reference's per-method calib sets
+    calib_tokens = None
+    if args.dataset.startswith("local:"):
+        calib_tokens = load_tokens(args, cfg, train=True)
+
     def quantize_fn(p, c, arch, method):
         if method == "fp16":
             return p
@@ -79,6 +85,7 @@ def main(argv=None):
         avg = get_bits_usage(arch, c.topology(), args.group_size)
         return get_quantized_params(
             p, c, method, arch, avg_bits=avg, group_size=args.group_size,
+            calib_tokens=calib_tokens,
             synthetic_calib=args.synthetic, n_samples=args.n_sample)
 
     ev = Evaluator(cfg, dense_params=params, datasets=datasets, search=False,

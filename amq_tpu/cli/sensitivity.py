@@ -37,9 +37,11 @@ def main(argv=None):
                    datasets={args.dataset: tokens},
                    group_size=args.group_size, batch_size=args.batch_size)
     table = linear_sensitivity(ev, args.dataset, progress=True)
+    # local:<path> datasets carry slashes; keep the filename flat
+    ds_tag = os.path.basename(args.dataset.replace("local:", ""))
     out = os.path.join(
         args.save_path,
-        f"{cfg.name}_dataset_{args.dataset}_n_sample_{args.n_sample}"
+        f"{cfg.name}_dataset_{ds_tag}_n_sample_{args.n_sample}"
         f"_seqlen_{args.seqlen}.json")
     dump_json(table, out)
 

@@ -95,6 +95,25 @@ def get_c4(tokenizer, seqlen: int = 2048, train: bool = False, seed: int = 0,
     return _chunk(ids, seqlen)
 
 
+def get_local_text(path: str, tokenizer, seqlen: int = 2048,
+                   train: bool = False, seed: int = 0,
+                   n_sample: int = 128) -> np.ndarray:
+    """Local text file with wikitext2 slicing semantics: lines joined by
+    ``"\\n\\n"`` (test) or a seeded line shuffle's first ``n_sample`` lines
+    (train) — so airgapped environments can run the real loader path on a
+    real corpus file (utils/data.py:15-21/:34-42 contract)."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    if train:
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(lines))[:n_sample]
+        text = "\n\n".join(lines[i] for i in order)
+    else:
+        text = "\n\n".join(lines)
+    ids = np.asarray(tokenizer(text, return_tensors="np").input_ids[0])
+    return _chunk(ids, seqlen)
+
+
 def get_loader(name: str, tokenizer=None, n_sample: int = 128,
                train: bool = True, seed: int = 0, seqlen: int = 2048,
                cache_dir: Optional[str] = None,
@@ -104,6 +123,10 @@ def get_loader(name: str, tokenizer=None, n_sample: int = 128,
         assert synthetic_vocab is not None
         return synthetic_tokens(synthetic_vocab, n_sample=n_sample,
                                 seqlen=seqlen, seed=seed)
+    if name.startswith("local:"):
+        toks = get_local_text(name[len("local:"):], tokenizer, seqlen=seqlen,
+                              train=train, seed=seed, n_sample=n_sample)
+        return toks[:n_sample] if train else toks
     if "wikitext2" in name:
         return get_wikitext2(tokenizer, seqlen=seqlen, train=train, seed=seed,
                              n_sample=n_sample, cache_dir=cache_dir)

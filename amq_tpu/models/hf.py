@@ -53,6 +53,95 @@ def config_from_hf(path: str) -> ModelConfig:
     return register(cfg)
 
 
+def save_hf_checkpoint(params: Dict[str, Any], cfg: ModelConfig,
+                       path: str, dtype=np.float32) -> None:
+    """Write a param pytree as an HF-format checkpoint directory
+    (model.safetensors + config.json) — the inverse of
+    :func:`load_hf_params`.
+
+    Lets the full real-weights pipeline (safetensors load, tokenizer,
+    dataset chunking) run end-to-end in hub-less environments, and
+    doubles as an export path for models quantize-evaluated here.
+    """
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    tensors: Dict[str, np.ndarray] = {
+        "model.embed_tokens.weight": np.asarray(params["embed"], dtype),
+        "model.norm.weight": np.asarray(params["final_norm"], dtype),
+    }
+    if "lm_head" in params:
+        tensors["lm_head.weight"] = np.asarray(params["lm_head"].weight,
+                                               dtype)
+    for i, layer in enumerate(params["layers"]):
+        for slot, pat in _HF_LAYER.items():
+            key = pat.format(i=i)
+            if slot in LINEAR_NAMES:
+                tensors[key] = np.asarray(layer[slot].weight, dtype)
+                if layer[slot].bias is not None:
+                    tensors[key.replace(".weight", ".bias")] = np.asarray(
+                        layer[slot].bias, dtype)
+            else:
+                tensors[key] = np.asarray(layer[slot], dtype)
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+
+    hf_cfg = {
+        "model_type": "qwen2" if cfg.qkv_bias else "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim_,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "rope_theta": cfg.rope_theta,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "sliding_window": cfg.sliding_window,
+        "max_position_embeddings": cfg.max_position_embeddings,
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=1)
+
+
+def save_dummy_tokenizer(path: str, vocab_size: int) -> None:
+    """Write a minimal WordLevel tokenizer.json loadable by
+    transformers.PreTrainedTokenizerFast — exercises the *real* tokenizer
+    code path (fast-tokenizer load + encode) without hub access."""
+    vocab = {"[UNK]": 0}
+    vocab.update({f"w{i}": i for i in range(1, vocab_size)})
+    tok = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [
+            {"id": 0, "content": "[UNK]", "single_word": False,
+             "lstrip": False, "rstrip": False, "normalized": False,
+             "special": True}
+        ],
+        "normalizer": None,
+        "pre_tokenizer": {"type": "Whitespace"},
+        "post_processor": None,
+        "decoder": None,
+        "model": {"type": "WordLevel", "vocab": vocab,
+                  "unk_token": "[UNK]"},
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "tokenizer.json"), "w") as f:
+        json.dump(tok, f)
+    with open(os.path.join(path, "tokenizer_config.json"), "w") as f:
+        json.dump({"tokenizer_class": "PreTrainedTokenizerFast",
+                   "unk_token": "[UNK]"}, f)
+
+
+def load_tokenizer(path: str):
+    """Local-files-only tokenizer load (reference: AutoTokenizer in
+    utils/func.py:117-156's callers)."""
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(path, local_files_only=True)
+
+
 def load_hf_params(path: str, cfg: Optional[ModelConfig] = None,
                    dtype=jnp.float32) -> Dict[str, Any]:
     """Load a local HF llama-family checkpoint directory."""

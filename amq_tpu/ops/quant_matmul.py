@@ -52,6 +52,13 @@ def _pick_tile(dim: int, candidates) -> int:
 _BF16_128 = 0x43004300
 
 
+def _codes_scratch_shape(bk, bn, nbits):
+    """bf16 code-plane scratch for the block-diagonal GEMV path: 3/8-bit
+    store two planes (hi + lo), 1/2/4-bit one."""
+    rows = 2 * bk if nbits in (3, 8) else bk
+    return pltpu.VMEM((rows, bn), jnp.bfloat16)
+
+
 def _extract_pairs_bf16(words, field_bits, shifts):
     """Pair extraction: ``[R, bn]`` uint32 -> list of bf16 ``[2R, bn]``.
 
@@ -67,6 +74,87 @@ def _extract_pairs_bf16(words, field_bits, shifts):
     return [pltpu.bitcast(((words >> jnp.uint32(s)) & pm) | const,
                           jnp.bfloat16)
             for s in shifts]
+
+
+def _codes_tile_bf16(w_blk, nbits, sb, T, group_size, bn, scratch):
+    """Materialize the raw ``128 + c`` bf16 code planes of one superblock
+    into ``scratch`` (K-order) and return (plane_specs, zoff).
+
+    plane_specs: list of (row_offset_in_scratch, rows, weight) — the code
+    matrix is ``sum_i weight_i * scratch[off_i:off_i+rows]`` where each
+    plane's rows are in K order.  For 2/4-bit one plane; 3-bit a 2-bit
+    plane (weight 2) + 1-bit plane (weight 1); 8-bit nibbles (16, 1).
+    VPU cost: extraction (~1.5 ops/value) + one store/value.
+    """
+    if nbits == 3:
+        hi_rows = packed_rows(sb, 2)
+        hi = _extract_pairs_bf16(w_blk[:hi_rows, :], 2, range(0, 16, 2))
+        lo = _extract_pairs_bf16(w_blk[hi_rows:, :], 1, range(16))
+        planes = [(0, sb, 2.0, hi), (sb, sb, 1.0, lo)]
+        zoff = 3 * 128.0
+    elif nbits == 8:
+        hi = _extract_pairs_bf16(w_blk, 4, (4, 12))
+        lo = _extract_pairs_bf16(w_blk, 4, (0, 8))
+        planes = [(0, sb, 16.0, hi), (sb, sb, 1.0, lo)]
+        zoff = 17 * 128.0
+    else:
+        P = 16 // nbits
+        chunks = _extract_pairs_bf16(w_blk, nbits,
+                                     [nbits * p for p in range(P)])
+        planes = [(0, sb, 1.0, chunks)]
+        zoff = 128.0
+    specs = []
+    for base, total, weight, chunks in planes:
+        rows = chunks[0].shape[0]
+        off = base
+        for ch in chunks:
+            scratch[off:off + rows, :] = ch
+            off += rows
+        specs.append((base, total, weight))
+    return specs, zoff
+
+
+def _gemv_blockdiag(x, w_blk, s_blk, z_blk, nbits, group_size, T, bn,
+                    codes_scratch, acc_dtype=jnp.bfloat16):
+    """Decode-regime (small m) dequant-matmul of one superblock tile.
+
+    Per-group scale cannot ride a single plain matmul, and per-group
+    small matmuls cost ~1 us each in Mosaic (measured,
+    scripts/kernel_variants.py) — so the groups become ROW-BLOCKS of a
+    block-diagonal x:
+
+        X'[g*bm + m, k] = x[m, k] if k in group g else 0
+        y_p = X' @ (c + 128)        -> [T*bm, bn], ONE dot per plane
+        y   = sum_g s_g * y_p[g] - s_g * (z_g + zoff) * xsum_g
+
+    The MXU is idle in the GEMV regime, so the T-fold larger m is free;
+    the VPU pays extraction + one store per value, with all dequant
+    arithmetic on [bm, bn]-sized partial sums.
+    """
+    bm, sb = x.shape
+    xb = x.astype(acc_dtype)
+    # the 128-offset correction must see EXACTLY the values the matmul
+    # sees: xsum from the (possibly bf16-rounded) x the dot consumes — a
+    # full-precision xsum leaves a 128 * rounding-residual in the output
+    xf = xb.astype(jnp.float32)
+    xsum = jnp.sum(xf.reshape(bm, T, group_size), axis=2)        # [bm, T]
+    # block-diagonal X': [T, bm, sb] masked copies -> [T*bm, sb]
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1, sb), 2) // group_size
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1, sb), 0)
+    xd = jnp.where(k_ids == g_ids, xb[None],
+                   jnp.zeros((), acc_dtype)).reshape(T * bm, sb)
+
+    specs, zoff = _codes_tile_bf16(w_blk, nbits, sb, T, group_size, bn,
+                                   codes_scratch)
+    yp = jnp.zeros((T * bm, bn), jnp.float32)
+    for base, total, weight in specs:
+        yp += weight * jnp.dot(xd, codes_scratch[base:base + total, :],
+                               preferred_element_type=jnp.float32)
+    yp = yp.reshape(T, bm, bn)
+    s = s_blk.reshape(T, 1, bn).astype(jnp.float32)
+    z = z_blk.reshape(T, 1, bn).astype(jnp.float32)
+    corr = (z + zoff) * s                                        # [T, 1, bn]
+    return jnp.sum(s * yp - xsum.T[:, :, None] * corr, axis=0)   # [bm, bn]
 
 
 def _dequant_tile(w_blk, s_blk, z_blk, nbits, group_size, T, bn, acc_dtype):
@@ -135,8 +223,8 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
     # form (persisted in scratch) serves every m tile — at prefill/eval
     # shapes the old (m, n, k) order re-unpacked each weight tile per m
     # tile (32x redundant VPU work at seq 2048).  With a single m step
-    # (decode) the scratch round trip is pure overhead, so feed the
-    # dequantized tile to the MXU directly.
+    # (decode) the block-diagonal grouped path applies (extraction-only
+    # VPU cost; see _gemv_blockdiag).
     k = pl.program_id(1)
     m = pl.program_id(2)
 
@@ -150,17 +238,29 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
     T = groups_per_tile
     bn = o_ref.shape[1]
 
+    if single_m and acc_dtype == jnp.bfloat16:
+        # serving GEMV: block-diagonal grouped path (extraction-only VPU
+        # cost); the f32 eval path keeps the exact fma dequant below
+        y = _gemv_blockdiag(x_ref[:], w_ref[:], s_ref[0], z_ref[0],
+                            nbits, group_size, T, bn, scratch,
+                            acc_dtype=acc_dtype)
+        o_ref[:] += y.astype(o_ref.dtype)
+        return
     if single_m:
         w = _dequant_tile(w_ref[:], s_ref[0], z_ref[0], nbits,
                           group_size, T, bn, acc_dtype
                           ).reshape(T * group_size, bn)
-    else:
-        @pl.when(m == 0)
-        def _():
-            deq = _dequant_tile(w_ref[:], s_ref[0], z_ref[0], nbits,
-                                group_size, T, bn, acc_dtype)
-            scratch[:] = deq.reshape(T * group_size, bn)
-        w = scratch[:]
+        o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype), w,
+                            preferred_element_type=jnp.float32
+                            ).astype(o_ref.dtype)
+        return
+
+    @pl.when(m == 0)
+    def _():
+        deq = _dequant_tile(w_ref[:], s_ref[0], z_ref[0], nbits,
+                            group_size, T, bn, acc_dtype)
+        scratch[:] = deq.reshape(T * group_size, bn)
+    w = scratch[:]
 
     o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype), w,
                         preferred_element_type=jnp.float32).astype(o_ref.dtype)
@@ -207,13 +307,18 @@ def _quant_matmul_packed(
         bm = x.shape[0] if M <= 8 else bm
     grid = (N // bn, K // bk, x.shape[0] // bm)
 
+    single_m = grid[2] == 1
     kernel = functools.partial(
         _qmm_kernel, nbits=nbits, group_size=g,
         groups_per_tile=groups_per_tile, acc_dtype=acc_dtype,
-        single_m=grid[2] == 1)
+        single_m=single_m)
 
     scale3 = scale.reshape(K // bk, groups_per_tile, N)
     zero3 = zero.reshape(K // bk, groups_per_tile, N)
+    scratch_shape = (
+        _codes_scratch_shape(bk, bn, nbits)
+        if single_m and acc_dtype == jnp.bfloat16
+        else pltpu.VMEM((bk, bn), acc_dtype))
 
     out = pl.pallas_call(
         kernel,
@@ -231,7 +336,7 @@ def _quant_matmul_packed(
         out_specs=pl.BlockSpec((bm, bn), lambda n, k, m: (m, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bk, bn), acc_dtype)],
+        scratch_shapes=[scratch_shape],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
@@ -259,17 +364,29 @@ def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
     T = groups_per_tile
     bn = o_ref.shape[1]
 
+    if single_m and acc_dtype == jnp.bfloat16:
+        # serving GEMV: block-diagonal grouped path (extraction-only VPU
+        # cost); the f32 eval path keeps the exact fma dequant below
+        y = _gemv_blockdiag(x_ref[:], w_ref[0], s_ref[0, 0], z_ref[0, 0],
+                            nbits, group_size, T, bn, scratch,
+                            acc_dtype=acc_dtype)
+        o_ref[:] += y.astype(o_ref.dtype)
+        return
     if single_m:
         w = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
                           group_size, T, bn, acc_dtype
                           ).reshape(T * group_size, bn)
-    else:
-        @pl.when(m == 0)
-        def _():
-            deq = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
-                                group_size, T, bn, acc_dtype)
-            scratch[:] = deq.reshape(T * group_size, bn)
-        w = scratch[:]
+        o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype), w,
+                            preferred_element_type=jnp.float32
+                            ).astype(o_ref.dtype)
+        return
+
+    @pl.when(m == 0)
+    def _():
+        deq = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
+                            group_size, T, bn, acc_dtype)
+        scratch[:] = deq.reshape(T * group_size, bn)
+    w = scratch[:]
 
     o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype), w,
                         preferred_element_type=jnp.float32).astype(o_ref.dtype)
@@ -318,9 +435,10 @@ def quant_matmul_indexed(
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
     grid = (N // bn, K // bk, x.shape[0] // bm)
 
+    single_m = grid[2] == 1
     kernel = functools.partial(
         _qmm_kernel_stacked, nbits=nbits, group_size=g,
-        groups_per_tile=T, acc_dtype=acc_dtype, single_m=grid[2] == 1)
+        groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m)
 
     scale4 = scale_stack.reshape(L, K // bk, T, N)
     zero4 = zero_stack.reshape(L, K // bk, T, N)
@@ -339,7 +457,9 @@ def quant_matmul_indexed(
                          lambda n, k, m, idx: (idx[0], k, 0, n)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda n, k, m, idx: (m, n)),
-        scratch_shapes=[pltpu.VMEM((bk, bn), acc_dtype)],
+        scratch_shapes=[_codes_scratch_shape(bk, bn, nbits)
+                        if single_m and acc_dtype == jnp.bfloat16
+                        else pltpu.VMEM((bk, bn), acc_dtype)],
     )
     out = pl.pallas_call(
         kernel,
@@ -376,20 +496,33 @@ def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
     T = groups_per_tile
     bn = o_ref.shape[1]
 
+    g = g_ref[:].astype(jnp.float32)
+    x = (g * jax.nn.sigmoid(g) * u_ref[:].astype(jnp.float32)).astype(acc_dtype)
+
+    if single_m and acc_dtype == jnp.bfloat16:
+        # serving GEMV: block-diagonal grouped path (extraction-only VPU
+        # cost); the f32 eval path keeps the exact fma dequant below
+        y = _gemv_blockdiag(x, w_ref[0], s_ref[0, 0], z_ref[0, 0],
+                            nbits, group_size, T, bn, scratch,
+                            acc_dtype=acc_dtype)
+        o_ref[:] += y.astype(o_ref.dtype)
+        return
     if single_m:
         w = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
                           group_size, T, bn, acc_dtype
                           ).reshape(T * group_size, bn)
-    else:
-        @pl.when(m == 0)
-        def _():
-            deq = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
-                                group_size, T, bn, acc_dtype)
-            scratch[:] = deq.reshape(T * group_size, bn)
-        w = scratch[:]
+        o_ref[:] += jnp.dot(x.astype(acc_dtype), w,
+                            preferred_element_type=jnp.float32
+                            ).astype(o_ref.dtype)
+        return
 
-    g = g_ref[:].astype(jnp.float32)
-    x = (g * jax.nn.sigmoid(g) * u_ref[:].astype(jnp.float32)).astype(acc_dtype)
+    @pl.when(m == 0)
+    def _():
+        deq = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
+                            group_size, T, bn, acc_dtype)
+        scratch[:] = deq.reshape(T * group_size, bn)
+    w = scratch[:]
+
     o_ref[:] += jnp.dot(x, w,
                         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
@@ -433,9 +566,10 @@ def quant_matmul_swiglu_indexed(
         up = jnp.pad(up, ((0, m_pad), (0, 0)))
     grid = (N // bn, K // bk, gate.shape[0] // bm)
 
+    single_m = grid[2] == 1
     kernel = functools.partial(
         _qmm_kernel_swiglu, nbits=nbits, group_size=g,
-        groups_per_tile=T, acc_dtype=acc_dtype, single_m=grid[2] == 1)
+        groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m)
     scale4 = scale_stack.reshape(L, K // bk, T, N)
     zero4 = zero_stack.reshape(L, K // bk, T, N)
     idx = jnp.asarray(layer, jnp.int32).reshape(1)
@@ -454,7 +588,9 @@ def quant_matmul_swiglu_indexed(
                          lambda n, k, m, idx: (idx[0], k, 0, n)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda n, k, m, idx: (m, n)),
-        scratch_shapes=[pltpu.VMEM((bk, bn), acc_dtype)],
+        scratch_shapes=[_codes_scratch_shape(bk, bn, nbits)
+                        if single_m and acc_dtype == jnp.bfloat16
+                        else pltpu.VMEM((bk, bn), acc_dtype)],
     )
     out = pl.pallas_call(
         kernel,

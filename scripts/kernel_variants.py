@@ -186,16 +186,10 @@ def main():
         ref = quant_matmul_reference(x0.astype(jnp.float32), qts[0])
 
         variants = {
-            "A_fma": lambda xx, i: quant_matmul_indexed(
+            "D_blockdiag": lambda xx, i: quant_matmul_indexed(
                 xx, packed, scale, zero, i, nbits=nbits, group_size=GROUP,
                 shape=(N, K), superblock=sb, acc_dtype=jnp.bfloat16,
                 out_dtype=jnp.bfloat16),
-            "B_grouped": lambda xx, i: grouped_gemv(
-                xx, packed, scale, zero, i, nbits=nbits, shape=(N, K),
-                superblock=sb, concat_to_group=False),
-            "C_grouped_cat": lambda xx, i: grouped_gemv(
-                xx, packed, scale, zero, i, nbits=nbits, shape=(N, K),
-                superblock=sb, concat_to_group=True),
         }
         for name, f in variants.items():
             got = np.asarray(f(x0, jnp.int32(0)), np.float32)
@@ -208,7 +202,7 @@ def main():
                 y, _ = jax.lax.scan(body, xx,
                                     jnp.arange(n, dtype=jnp.int32))
                 return y
-            t = timed(run, x0, 32, 160)
+            t = timed(run, x0, 64, 512)
             log(f"{nbits}-bit {name}: {t*1e6:6.1f} us/iter "
                 f"({mb/t/1e3:4.0f} GB/s)  rel_err={err:.4f}")
 
