@@ -132,7 +132,7 @@ def _quantize_affine_oz(x, scale, zero, maxq):
 
 
 @partial(jax.jit, static_argnames=("bits", "n_out", "group_size", "blocksize",
-                                   "num_boundary"))
+                                   "num_boundary", "return_packed"))
 def owq_quantize_weight(
     W: jnp.ndarray,            # [rows, cols]
     H: jnp.ndarray,            # [cols, cols]
@@ -142,9 +142,17 @@ def owq_quantize_weight(
     blocksize: int = 128,
     percdamp: float = 0.01,
     num_boundary: int = 40,
+    return_packed: bool = False,
 ) -> jnp.ndarray:
     """OWQ fasterquant (owq.py:311-391): returns fake-quantized W with the
-    selected outlier columns preserved (plus their error compensation)."""
+    selected outlier columns preserved (plus their error compensation).
+
+    ``return_packed=True`` additionally returns the serving-form pieces
+    (the QEFT kernel's data contract, gemv_cuda_qeft.cu:392 — which the
+    reference ships but never compiles): integer codes / per-group
+    scale,zero over the PERMUTED non-outlier columns, the permutation,
+    and the fp outlier columns (incl. error compensation).
+    """
     rows, cols = W.shape
     n_nonout = cols - n_out
     maxq = 2**bits - 1
@@ -182,13 +190,13 @@ def owq_quantize_weight(
     n_blocks = -(-n_nonout // blocksize)
 
     def block_body(blk, carry):
-        Wc, Qc = carry
+        Wc = carry[0]
         i1 = blk * blocksize
         W1 = jax.lax.dynamic_slice(Wc, (0, i1), (rows, blocksize))
         Hinv1 = jax.lax.dynamic_slice(Hinv, (i1, i1), (blocksize, blocksize))
 
         def col_body(i, inner):
-            W1i, Q1, Err1, scale, zero = inner
+            W1i, Q1, Qi1, Sc1, Zp1, Err1, scale, zero = inner
             gcol = i1 + i
             valid = gcol < n_nonout
 
@@ -208,7 +216,8 @@ def owq_quantize_weight(
 
             w = jax.lax.dynamic_slice(W1i, (0, i), (rows, 1))
             d = Hinv1[i, i]
-            q = _quantize_affine_oz(w, scale, zero, maxq)
+            qi = jnp.clip(jnp.round(w / scale) + zero, 0, maxq)
+            q = scale * (qi - zero)
             err = jnp.where(valid, (w - q) / d, 0.0)
             row = Hinv1[i, :][None, :]
             upd_mask = jnp.logical_and(col_iota_blk >= i,
@@ -216,29 +225,52 @@ def owq_quantize_weight(
             W1i = W1i - err * jnp.where(upd_mask, row, 0.0)
             Q1 = jnp.where(valid,
                            jax.lax.dynamic_update_slice(Q1, q, (0, i)), Q1)
+            Qi1 = jnp.where(valid,
+                            jax.lax.dynamic_update_slice(Qi1, qi, (0, i)),
+                            Qi1)
+            Sc1 = jax.lax.dynamic_update_slice(Sc1, scale, (0, i))
+            Zp1 = jax.lax.dynamic_update_slice(Zp1, zero, (0, i))
             Err1 = jax.lax.dynamic_update_slice(Err1, err, (0, i))
-            return W1i, Q1, Err1, scale, zero
+            return W1i, Q1, Qi1, Sc1, Zp1, Err1, scale, zero
 
         init = (W1, jnp.zeros_like(W1), jnp.zeros_like(W1),
-                jnp.ones((rows, 1), jnp.float32), jnp.zeros((rows, 1), jnp.float32))
-        _, Q1, Err1, _, _ = jax.lax.fori_loop(0, blocksize, col_body, init)
+                jnp.ones_like(W1), jnp.zeros_like(W1), jnp.zeros_like(W1),
+                jnp.ones((rows, 1), jnp.float32),
+                jnp.zeros((rows, 1), jnp.float32))
+        _, Q1, Qi1, Sc1, Zp1, Err1, _, _ = jax.lax.fori_loop(
+            0, blocksize, col_body, init)
 
+        Qc, Qic, Scc, Zpc = carry[1], carry[2], carry[3], carry[4]
         Qc = jax.lax.dynamic_update_slice(Qc, Q1, (0, i1))
+        Qic = jax.lax.dynamic_update_slice(Qic, Qi1, (0, i1))
+        Scc = jax.lax.dynamic_update_slice(Scc, Sc1, (0, i1))
+        Zpc = jax.lax.dynamic_update_slice(Zpc, Zp1, (0, i1))
         i2 = jnp.minimum(i1 + blocksize, n_nonout)
         Hrows = jax.lax.dynamic_slice(Hinv, (i1, 0), (blocksize, cols))
         tail_mask = col_iota_all >= i2
         Wc = Wc - jnp.dot(Err1, Hrows,
                           preferred_element_type=jnp.float32) * tail_mask
-        return Wc, Qc
+        return Wc, Qc, Qic, Scc, Zpc
 
-    Wfin, Q = jax.lax.fori_loop(0, n_blocks, block_body,
-                                (Wp, jnp.zeros_like(Wp)))
+    Wfin, Q, Qint, Scales, Zeros = jax.lax.fori_loop(
+        0, n_blocks, block_body,
+        (Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp), jnp.ones_like(Wp),
+         jnp.zeros_like(Wp)))
 
     # outlier columns: keep fp values incl. error compensation (owq.py:383-386)
     keep_mask = col_iota_all[0] >= n_nonout
     Q = jnp.where(keep_mask[None, :], Wfin, Q)
     Q = Q[:, inv_order]
-    return Q.astype(W.dtype)
+    if not return_packed:
+        return Q.astype(W.dtype)
+    return Q.astype(W.dtype), {
+        "codes": Qint[:, :n_nonout],          # [rows, n_nonout] ints (f32)
+        "scale": Scales[:, :n_nonout],        # per-column (const per group)
+        "zero": Zeros[:, :n_nonout],
+        "order": order,                       # permuted col -> original col
+        "n_nonout": n_nonout,
+        "w_out": Wfin[:, n_nonout:],          # [rows, n_out] fp outliers
+    }
 
 
 def owq_quantize_model(
@@ -300,3 +332,98 @@ def owq_quantize_model(
     out = dict(params)
     out["layers"] = out_layers
     return out
+
+
+# ---------------------------------------------------------------------------
+# packed OWQ serving form (the QEFT kernel's data contract —
+# ft/quantization_new/gemv/gemv_cuda_qeft.cu:392, which the reference
+# ships but never compiles or binds; here it is a first-class serving
+# path: fused dequant-GEMV over the packed non-outlier columns + a dense
+# fp16 tail matmul over the outlier columns)
+
+import dataclasses as _dc
+
+from ..core import bitpack as _bitpack
+from ..core.quantize import QuantizedTensor
+
+
+@jax.tree_util.register_dataclass
+@_dc.dataclass
+class OWQPacked:
+    """One linear in OWQ serving form.
+
+    ``qt`` covers the permuted non-outlier input columns (padded to a
+    group multiple with zero-dequant codes); ``perm`` maps padded packed
+    K rows back to original input indices; ``out_ids``/``w_out`` are the
+    fp outlier columns (with GPTQ error compensation baked in).
+    """
+
+    qt: QuantizedTensor
+    perm: jnp.ndarray      # [K_pad] int32 (pad entries repeat index 0)
+    main_mask: jnp.ndarray  # [K_pad] bool: False on pad entries (their
+    #                         packed codes share the last group's real
+    #                         zero-point, so the pad x must be zeroed)
+    out_ids: jnp.ndarray   # [n_out] int32
+    w_out: jnp.ndarray     # [n_out, N]
+
+
+def owq_pack(W: jnp.ndarray, H: jnp.ndarray, bits: int, n_out: int,
+             group_size: int = 128) -> tuple:
+    """Quantize + produce the packed serving form.  Returns
+    (fake-quant W for eval parity, OWQPacked)."""
+    rows, cols = W.shape
+    n_nonout = cols - n_out
+    Q, parts = owq_quantize_weight(W, H, bits, n_out,
+                                   group_size=group_size,
+                                   return_packed=True)
+    Kp = -(-n_nonout // group_size) * group_size
+    codes = np.zeros((rows, Kp), np.uint32)
+    codes[:, :n_nonout] = np.asarray(parts["codes"], np.float32).astype(
+        np.uint32)
+    # per-group scale/zero: constant within each (clipped) group window
+    n_groups = Kp // group_size
+    sc = np.ones((rows, n_groups), np.float32)
+    zp = np.zeros((rows, n_groups), np.float32)
+    sc_cols = np.asarray(parts["scale"], np.float32)
+    zp_cols = np.asarray(parts["zero"], np.float32)
+    for gidx in range(-(-n_nonout // group_size)):
+        sc[:, gidx] = sc_cols[:, gidx * group_size]
+        zp[:, gidx] = zp_cols[:, gidx * group_size]
+
+    codes_kn = jnp.asarray(codes.T)                    # [Kp, N]
+    superblock = _bitpack.pick_superblock(Kp, group_size)
+    packed = _bitpack.pack(codes_kn, bits, superblock)
+    qt = QuantizedTensor(
+        packed=packed,
+        scale=jnp.asarray(sc.T),                       # [Kp/g, N]
+        zero=jnp.asarray(zp.T),
+        nbits=bits, group_size=group_size, shape=(rows, Kp),
+        superblock=superblock)
+
+    order = np.asarray(parts["order"])
+    perm = np.zeros(Kp, np.int32)
+    perm[:n_nonout] = order[:n_nonout]
+    out_ids = jnp.asarray(order[n_nonout:].astype(np.int32))
+    w_out = jnp.asarray(parts["w_out"]).T              # [n_out, N]
+    main_mask = jnp.asarray(np.arange(Kp) < n_nonout)
+    return Q, OWQPacked(qt=qt, perm=jnp.asarray(perm), main_mask=main_mask,
+                        out_ids=out_ids, w_out=w_out)
+
+
+def owq_matmul(x: jnp.ndarray, p: OWQPacked, out_dtype=None,
+               use_kernel: bool = True) -> jnp.ndarray:
+    """``x @ W_owq.T`` in packed serving form: fused dequant-GEMV over the
+    gathered non-outlier columns + dense tail matmul on the outliers.
+
+    Pad columns of the gather have zero dequantized weight, so their x
+    values (index 0 repeats) contribute nothing.
+    """
+    from ..ops.quant_matmul import quant_matmul, quant_matmul_reference
+
+    x_main = jnp.where(p.main_mask, jnp.take(x, p.perm, axis=-1), 0)
+    x_out = jnp.take(x, p.out_ids, axis=-1)
+    mm = quant_matmul if use_kernel else quant_matmul_reference
+    y = mm(x_main, p.qt)
+    y = y + jnp.dot(x_out.astype(y.dtype), p.w_out.astype(y.dtype),
+                    preferred_element_type=jnp.float32).astype(y.dtype)
+    return y.astype(out_dtype or x.dtype)

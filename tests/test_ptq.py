@@ -116,3 +116,32 @@ def test_mixed_bits_respected_by_hqq_proxy():
     for layer in qparams["layers"]:
         assert layer["self_attn.q_proj"].qt.nbits == 4
         assert layer["mlp.down_proj"].qt.nbits == 2
+
+
+def test_owq_packed_serving_matches_fake_quant():
+    """OWQ packed serving form (fused dequant-GEMV on non-outlier columns
+    + dense fp outlier tail) reproduces the fake-quant matmul — the QEFT
+    kernel the reference ships but never compiles (gemv_cuda_qeft.cu:392),
+    VERDICT r1 item 8."""
+    import jax.numpy as jnp
+    from amq_tpu.quantization.owq import owq_pack, owq_matmul
+
+    rng = np.random.default_rng(11)
+    rows, cols, n_out = 256, 384, 6
+    W = jnp.asarray(rng.normal(size=(rows, cols)).astype(np.float32))
+    X = jnp.asarray(rng.normal(size=(64, cols)).astype(np.float32))
+    H = (2.0 / X.shape[0]) * X.T @ X
+
+    Q, packed = owq_pack(W, H, bits=4, n_out=n_out)
+    x = jnp.asarray(rng.normal(size=(3, cols)).astype(np.float32))
+    want = x @ np.asarray(Q).T
+    got = owq_matmul(x, packed, use_kernel=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # pallas kernel path (interpret mode)
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got_k = owq_matmul(x, packed, use_kernel=True)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
