@@ -295,31 +295,35 @@ def layer_uniform(model: StackedModel) -> bool:
     return model.uniform_select
 
 
-def forward_stacked(
+def scan_layers(
     model: StackedModel,
     cfg: ModelConfig,
-    tokens: jnp.ndarray,                       # [B, S]
-    cache: Optional[llama.KVCache] = None,
+    x: jnp.ndarray,                            # [B, S, H]
+    cache_kv=None,                             # (k, v) [L, B, kv, T, hd]
+    offset=None,
     compute_dtype=jnp.bfloat16,
     tp_axis: Optional[str] = None,
-) -> Tuple[jnp.ndarray, Optional[llama.KVCache]]:
-    """Full forward as a lax.scan over layers (compile size O(1) in depth)."""
-    B, S = tokens.shape
-    hd = cfg.head_dim_
-    x = model.embed[tokens].astype(compute_dtype)
+):
+    """The decoder-layer scan only (no embed / final norm / head).
 
-    if cache is not None:
-        offset = cache.length
-        T = cache.k.shape[3]
-    else:
+    Factored out of :func:`forward_stacked` so pipeline parallelism can
+    run a stage-local chunk of layers on an already-embedded activation
+    (parallel/pp.py).  Returns ``(x, (k_all, v_all) or None)``.
+    """
+    B, S, _ = x.shape
+    hd = cfg.head_dim_
+    if offset is None:
         offset = jnp.int32(0)
+    if cache_kv is not None:
+        T = cache_kv[0].shape[3]
+    else:
         T = S
     positions = jnp.arange(S, dtype=jnp.int32)[None, :] + offset
     cos, sin = llama.rope_cos_sin(cfg, positions, dtype=compute_dtype)
     mask = llama._causal_mask(S, T, offset, cfg.sliding_window)
 
     fused = "self_attn.qkv_proj" in model.sites
-    has_cache = cache is not None
+    has_cache = cache_kv is not None
     uniform = layer_uniform(model)
     first_site = next(iter(model.select))
 
@@ -406,10 +410,29 @@ def forward_stacked(
 
     layer_idx = jnp.arange(model.num_layers, dtype=jnp.int32)
     if has_cache:
-        x, (k_all, v_all) = jax.lax.scan(
-            layer_fn, x, (layer_idx, cache.k, cache.v))
+        x, kv_all = jax.lax.scan(
+            layer_fn, x, (layer_idx, cache_kv[0], cache_kv[1]))
     else:
-        x, _ = jax.lax.scan(layer_fn, x, layer_idx)
+        x, kv_all = jax.lax.scan(layer_fn, x, layer_idx)
+    return x, kv_all
+
+
+def forward_stacked(
+    model: StackedModel,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,                       # [B, S]
+    cache: Optional[llama.KVCache] = None,
+    compute_dtype=jnp.bfloat16,
+    tp_axis: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Optional[llama.KVCache]]:
+    """Full forward as a lax.scan over layers (compile size O(1) in depth)."""
+    B, S = tokens.shape
+    x = model.embed[tokens].astype(compute_dtype)
+    offset = cache.length if cache is not None else jnp.int32(0)
+    x, kv_all = scan_layers(
+        model, cfg, x,
+        cache_kv=(cache.k, cache.v) if cache is not None else None,
+        offset=offset, compute_dtype=compute_dtype, tp_axis=tp_axis)
 
     x = llama.rms_norm(x, model.final_norm, cfg.rms_norm_eps)
     head = model.lm_head if model.lm_head is not None else model.embed
@@ -418,5 +441,6 @@ def forward_stacked(
 
     new_cache = None
     if cache is not None:
-        new_cache = llama.KVCache(k=k_all, v=v_all, length=cache.length + S)
+        new_cache = llama.KVCache(k=kv_all[0], v=kv_all[1],
+                                  length=cache.length + S)
     return logits.astype(jnp.float32), new_cache

@@ -1,0 +1,172 @@
+"""Pipeline parallelism: layer-stage sharding + microbatched decode.
+
+The reference's only model distribution is sequential block *placement*
+via Accelerate device hooks (utils/func.py:79-98, utils/dispatch.py) — no
+compute overlap.  Here the ``StackedModel``'s layer dimension shards over
+a mesh 'stage' axis and microbatches flow through the stages GPipe-style
+with ``ppermute`` (activations ride ICI), so all stages compute
+concurrently — the BASELINE "70B-class across >= 2 hosts" serving shape.
+
+Design (SPMD, shard_map over 'stage'):
+* every ``[L, ...]`` leaf of the StackedModel (packed/scale/zero stacks,
+  norms, biases, selectors) shards on the layer axis: stage ``s`` owns
+  layers ``[s*L/S, (s+1)*L/S)``; embed / final norm / lm_head are
+  replicated (stage 0 embeds, the last stage applies the head),
+* the KV cache shards the same way (stage-local layers) — cache entries
+  never move,
+* a decode/prefill step runs ``S + n_micro - 1`` ticks: at tick ``t``
+  stage ``s`` processes microbatch ``t - s`` (masked no-op outside the
+  window), then activations rotate one stage forward via ppermute,
+* the last stage's logits are psum-broadcast (they are zero elsewhere).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import llama
+from ..models.config import ModelConfig
+from ..models.stacked import StackedModel, StackedQuant, scan_layers
+
+
+def make_stage_mesh(n_stages: int) -> Mesh:
+    devs = jax.devices()
+    assert len(devs) >= n_stages, (len(devs), n_stages)
+    return Mesh(np.array(devs[:n_stages]), ("stage",))
+
+
+def model_specs(model: StackedModel) -> StackedModel:
+    """PartitionSpec pytree: layer-axis leaves on 'stage', rest replicated."""
+    def qspec(sq: StackedQuant) -> StackedQuant:
+        return dataclasses.replace(
+            sq, packed=P("stage", None, None), scale=P("stage", None, None),
+            zero=P("stage", None, None))
+
+    return StackedModel(
+        embed=P(), final_norm=P(), lm_head=None if model.lm_head is None
+        else P(),
+        input_norm=P("stage", None), post_norm=P("stage", None),
+        sites={k: tuple(qspec(s) for s in v)
+               for k, v in model.sites.items()},
+        biases={k: (None if b is None else P("stage", None))
+                for k, b in model.biases.items()},
+        select={k: P("stage") for k in model.select},
+        bits_range=model.bits_range, num_layers=model.num_layers,
+        uniform_select=model.uniform_select)
+
+
+def cache_specs() -> llama.KVCache:
+    return llama.KVCache(k=P("stage", None, None, None, None),
+                         v=P("stage", None, None, None, None),
+                         length=P())
+
+
+def shard_model_pp(model: StackedModel, mesh: Mesh) -> StackedModel:
+    specs = model_specs(model)
+
+    def put(x, s):
+        if x is None or not hasattr(x, "shape"):
+            return x
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree.map(put, model, specs,
+                        is_leaf=lambda x: x is None or isinstance(x, P))
+
+
+def make_pp_step(cfg: ModelConfig, mesh: Mesh, model: StackedModel,
+                 n_micro: int, seq_len: int, batch: int,
+                 compute_dtype=jnp.bfloat16):
+    """Build the jitted pipeline step.
+
+    Returns ``step(model, tokens [B, S], cache) -> (last_logits [B, V],
+    cache)`` with ``B = n_micro * micro_batch``.  One call = one full
+    pipeline pass (prefill with seq_len > 1, decode with seq_len == 1);
+    only the final position's logits are returned (what generation needs
+    — broadcasting full prefill logits over stages would move
+    B*S*V floats over ICI for nothing).
+    """
+    S = mesh.shape["stage"]
+    L = model.num_layers
+    assert L % S == 0, (L, S)
+    assert batch % n_micro == 0, (batch, n_micro)
+    Bm = batch // n_micro
+    H = cfg.hidden_size
+    V = cfg.vocab_size
+    n_ticks = S + n_micro - 1
+
+    pspec = model_specs(model)
+    fwd_perm = [(i, (i + 1) % S) for i in range(S)]
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pspec, P(None, None), cache_specs()),
+             out_specs=(P(None, None), cache_specs()),
+             check_vma=False)
+    def step(m, tokens, cache):
+        # m's [L,...] leaves are stage-local [L/S, ...]
+        m_local = dataclasses.replace(m, num_layers=L // S)
+        stage = jax.lax.axis_index("stage")
+        offset = cache.length
+
+        x_embed = m.embed[tokens].astype(compute_dtype)  # [B, S_tok, H]
+        x_embed = x_embed.reshape(n_micro, Bm, seq_len, H)
+
+        out0 = jnp.zeros((n_micro, Bm, V), jnp.float32)
+        k0, v0 = cache.k, cache.v
+
+        def tick(carry, t):
+            x_in, out, k_all, v_all = carry
+            mb = t - stage                       # this stage's microbatch
+            active = jnp.logical_and(mb >= 0, mb < n_micro)
+            idx = jnp.clip(mb, 0, n_micro - 1)
+            # stage 0 ingests a fresh embedded microbatch each tick
+            feed = jax.lax.dynamic_index_in_dim(
+                x_embed, jnp.clip(t, 0, n_micro - 1), 0, False)
+            x_cur = jnp.where(stage == 0, feed, x_in)
+
+            # stage-local layer chunk on microbatch idx's cache rows;
+            # the write-back is masked out when this stage is idle
+            b0 = idx * Bm
+            kc = jax.lax.dynamic_slice_in_dim(k_all, b0, Bm, axis=1)
+            vc = jax.lax.dynamic_slice_in_dim(v_all, b0, Bm, axis=1)
+            x_out, (k_new, v_new) = scan_layers(
+                m_local, cfg, x_cur, cache_kv=(kc, vc),
+                offset=offset, compute_dtype=compute_dtype)
+            k_all = jax.lax.dynamic_update_slice_in_dim(
+                k_all, jnp.where(active, k_new, kc), b0, axis=1)
+            v_all = jax.lax.dynamic_update_slice_in_dim(
+                v_all, jnp.where(active, v_new, vc), b0, axis=1)
+
+            # last stage: head on the final position, record microbatch mb
+            h = llama.rms_norm(x_out[:, -1], m.final_norm, cfg.rms_norm_eps)
+            head_w = m.lm_head if m.lm_head is not None else m.embed
+            logits = jnp.dot(h, head_w.T.astype(compute_dtype),
+                             preferred_element_type=jnp.float32)
+            write = jnp.logical_and(stage == S - 1, active)
+            prev = jax.lax.dynamic_index_in_dim(out, idx, 0, False)
+            out = jax.lax.dynamic_update_index_in_dim(
+                out, jnp.where(write, logits, prev), idx, 0)
+
+            # rotate activations one stage forward
+            x_next = jax.lax.ppermute(x_out, "stage", fwd_perm)
+            return (x_next, out, k_all, v_all), None
+
+        init = (jnp.zeros((Bm, seq_len, H), compute_dtype), out0, k0, v0)
+        (_, out, k_all, v_all), _ = jax.lax.scan(
+            tick, init, jnp.arange(n_ticks, dtype=jnp.int32))
+
+        # logits live on the last stage only; broadcast
+        out = jax.lax.psum(
+            jnp.where(stage == S - 1, out, jnp.zeros_like(out)), "stage")
+        logits = out.reshape(batch, V)
+        new_cache = llama.KVCache(k=k_all, v=v_all,
+                                  length=cache.length + seq_len)
+        return logits, new_cache
+
+    return jax.jit(step)

@@ -79,12 +79,14 @@ def random_stacked_model(cfg, rng) -> StackedModel:
                 out[f"{name}/{b}/packed"] = jax.random.bits(
                     k1, (L, rows, N), jnp.uint32)
                 # bf16 scale/zero: halves the per-group metadata stream
+                meta = getattr(jnp, os.environ.get("BENCH_META",
+                                                   "bfloat16"))
                 out[f"{name}/{b}/scale"] = (jax.random.uniform(
                     k2, (L, K // GROUP, N), jnp.float32) * 0.02
-                ).astype(jnp.bfloat16)
+                ).astype(meta)
                 out[f"{name}/{b}/zero"] = (jax.random.uniform(
                     k3, (L, K // GROUP, N), jnp.float32) * (2**b - 1)
-                ).astype(jnp.bfloat16)
+                ).astype(meta)
         key, k1, k2 = jax.random.split(key, 3)
         out["embed"] = (jax.random.normal(k1, (cfg.vocab_size, H), jnp.float32)
                         * 0.02).astype(jnp.bfloat16)

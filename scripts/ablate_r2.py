@@ -113,7 +113,7 @@ def main():
     mb3 = lambda N, K, b: (N * K * b / 8 + K // GROUP * N * 4) / 1e6
 
     # --- v1: single o-proj kernel (4096^2) per bit ---
-    for b in BITS:
+    for b in (3,):
         st = stacks[("o", b)]
 
         @functools.partial(jax.jit, static_argnames="n")
@@ -122,24 +122,25 @@ def main():
                 return apply_site(st, c, li % L), None
             y, _ = jax.lax.scan(body, x, jnp.arange(n, dtype=jnp.int32))
             return y
-        t = timed(v1, x0, 32, 160)
+        t = timed(v1, x0, 64, 512)
         log(f"v1 single 4096^2 {b}-bit: {t*1e6:.1f} us/iter "
             f"({mb3(H, H, b)/t/1e3:.0f} GB/s)")
 
     # --- v2: chained 4 sites, fixed bit ---
     layer_mb = {b: (mb3(QKV_N, H, b) + mb3(H, H, b) + mb3(GU_N, H, b)
                     + mb3(H, I, b)) for b in BITS}
-    for b in BITS:
+    for b in (3,):
         @functools.partial(jax.jit, static_argnames="n")
         def v2(x, n, b=b):
             def body(c, li):
                 return chain_body(stacks, b, c, li % L), None
             y, _ = jax.lax.scan(body, x, jnp.arange(n, dtype=jnp.int32))
             return y
-        t = timed(v2, x0, 16, 64)
+        t = timed(v2, x0, 32, 256)
         log(f"v2 chain {b}-bit: {t*1e6:.1f} us/iter "
             f"({layer_mb[b]/t/1e3:.0f} GB/s)")
 
+    return
     # --- v3: chain under uniform switch (cycling selector) ---
     sel = jnp.asarray([i % 3 for i in range(256)], jnp.int32)
 

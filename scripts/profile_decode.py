@@ -25,13 +25,19 @@ L_OVERRIDE = int(os.environ.get("PROF_LAYERS", "4"))
 import bench  # noqa: E402  (reuse the bench model builder)
 
 
+SINGLE_BIT = int(os.environ.get("PROF_SINGLE_BIT", "0"))
+
+
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     cfg = bench.get_config(bench.MODEL)
     import dataclasses
-    cfg = dataclasses.replace(cfg, num_layers=L_OVERRIDE,
-                              name=f"prof-{L_OVERRIDE}")
+    cfg = dataclasses.replace(
+        cfg, num_layers=L_OVERRIDE,
+        name=f"prof-{L_OVERRIDE}" + (f"-b{SINGLE_BIT}" if SINGLE_BIT else ""))
     rng = np.random.default_rng(0)
+    if SINGLE_BIT:
+        bench.BITS_RANGE = (SINGLE_BIT,)
     model = bench.random_stacked_model(cfg, rng)
     jax.block_until_ready(model.embed)
 
