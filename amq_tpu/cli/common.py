@@ -32,7 +32,22 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--platform", type=str, default="",
                    help="force jax platform (cpu/tpu)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard evaluation batches over all local devices "
+                        "(mesh 'data' axis; replaces the reference's "
+                        "Accelerate process sharding)")
     return p
+
+
+def data_mesh(args):
+    """Mesh over all local devices for data-parallel evaluation, or None."""
+    if not getattr(args, "data_parallel", False):
+        return None
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    return Mesh(np.array(devs), ("data",))
 
 
 def setup_jax(args):

@@ -14,7 +14,7 @@ import json
 
 import numpy as np
 
-from .common import base_parser, dump_json, load_model, load_tokens, setup_jax
+from .common import base_parser, dump_json, load_model, load_tokens, setup_jax, data_mesh
 
 
 def select_candidates(archive, target_bits: float, offset: float, n: int,
@@ -90,7 +90,7 @@ def main(argv=None):
 
     ev = Evaluator(cfg, dense_params=params, datasets=datasets, search=False,
                    group_size=args.group_size, batch_size=args.batch_size,
-                   quantize_fn=quantize_fn)
+                   mesh=data_mesh(args), quantize_fn=quantize_fn)
 
     results = []
     for arch, metric, bits in selected:

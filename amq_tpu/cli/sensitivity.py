@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-from .common import base_parser, dump_json, load_model, load_tokens, setup_jax
+from .common import base_parser, dump_json, load_model, load_tokens, setup_jax, data_mesh
 
 
 def main(argv=None):
@@ -35,7 +35,8 @@ def main(argv=None):
 
     ev = Evaluator(cfg, dense_params=params, proxies=proxies,
                    datasets={args.dataset: tokens},
-                   group_size=args.group_size, batch_size=args.batch_size)
+                   group_size=args.group_size, batch_size=args.batch_size,
+                   mesh=data_mesh(args))
     table = linear_sensitivity(ev, args.dataset, progress=True)
     # local:<path> datasets carry slashes; keep the filename flat
     ds_tag = os.path.basename(args.dataset.replace("local:", ""))
