@@ -307,7 +307,7 @@ def _quant_matmul_packed(
         bm = x.shape[0] if M <= 8 else bm
     grid = (N // bn, K // bk, x.shape[0] // bm)
 
-    single_m = grid[2] == 1
+    single_m = grid[2] == 1 and bm <= 8
     kernel = functools.partial(
         _qmm_kernel, nbits=nbits, group_size=g,
         groups_per_tile=groups_per_tile, acc_dtype=acc_dtype,
@@ -435,7 +435,7 @@ def quant_matmul_indexed(
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
     grid = (N // bn, K // bk, x.shape[0] // bm)
 
-    single_m = grid[2] == 1
+    single_m = grid[2] == 1 and bm <= 8
     kernel = functools.partial(
         _qmm_kernel_stacked, nbits=nbits, group_size=g,
         groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m)
@@ -566,7 +566,7 @@ def quant_matmul_swiglu_indexed(
         up = jnp.pad(up, ((0, m_pad), (0, 0)))
     grid = (N // bn, K // bk, gate.shape[0] // bm)
 
-    single_m = grid[2] == 1
+    single_m = grid[2] == 1 and bm <= 8
     kernel = functools.partial(
         _qmm_kernel_swiglu, nbits=nbits, group_size=g,
         groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m)
