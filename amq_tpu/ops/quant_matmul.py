@@ -115,7 +115,7 @@ def _codes_tile_bf16(w_blk, nbits, sb, T, group_size, bn, scratch):
 
 
 def _gemv_blockdiag(x, w_blk, s_blk, z_blk, nbits, group_size, T, bn,
-                    codes_scratch, acc_dtype=jnp.bfloat16):
+                    codes_scratch, acc_dtype=jnp.bfloat16, m_real=None):
     """Decode-regime (small m) dequant-matmul of one superblock tile.
 
     Per-group scale cannot ride a single plain matmul, and per-group
@@ -123,38 +123,47 @@ def _gemv_blockdiag(x, w_blk, s_blk, z_blk, nbits, group_size, T, bn,
     scripts/kernel_variants.py) — so the groups become ROW-BLOCKS of a
     block-diagonal x:
 
-        X'[g*bm + m, k] = x[m, k] if k in group g else 0
-        y_p = X' @ (c + 128)        -> [T*bm, bn], ONE dot per plane
+        X'[g*m + i, k] = x[i, k] if k in group g else 0
+        y_p = X' @ (c + 128)        -> [T*m, bn], ONE dot per plane
         y   = sum_g s_g * y_p[g] - s_g * (z_g + zoff) * xsum_g
 
-    The MXU is idle in the GEMV regime, so the T-fold larger m is free;
-    the VPU pays extraction + one store per value, with all dequant
-    arithmetic on [bm, bn]-sized partial sums.
+    ``m_real`` is the true (unpadded) batch: the block-diagonal X' is
+    built from only those rows, rounded up so ``T * m_eff`` stays
+    sublane-aligned — at decode (M=1, T=8) the dot streams 8 MXU rows
+    instead of 64 (building X' from the zero-padded [8, sb] x block was
+    measured 8x more MXU traffic for nothing).
     """
     bm, sb = x.shape
-    xb = x.astype(acc_dtype)
+    m_eff = m_real or bm
+    while (T * m_eff) % 8 and m_eff < bm:
+        m_eff += 1
+    xb = x[:m_eff].astype(acc_dtype)
     # the 128-offset correction must see EXACTLY the values the matmul
     # sees: xsum from the (possibly bf16-rounded) x the dot consumes — a
     # full-precision xsum leaves a 128 * rounding-residual in the output
     xf = xb.astype(jnp.float32)
-    xsum = jnp.sum(xf.reshape(bm, T, group_size), axis=2)        # [bm, T]
-    # block-diagonal X': [T, bm, sb] masked copies -> [T*bm, sb]
+    xsum = jnp.sum(xf.reshape(m_eff, T, group_size), axis=2)     # [m, T]
+    # block-diagonal X': [T, m_eff, sb] masked copies -> [T*m_eff, sb]
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1, sb), 2) // group_size
     g_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1, sb), 0)
     xd = jnp.where(k_ids == g_ids, xb[None],
-                   jnp.zeros((), acc_dtype)).reshape(T * bm, sb)
+                   jnp.zeros((), acc_dtype)).reshape(T * m_eff, sb)
 
     specs, zoff = _codes_tile_bf16(w_blk, nbits, sb, T, group_size, bn,
                                    codes_scratch)
-    yp = jnp.zeros((T * bm, bn), jnp.float32)
+    yp = jnp.zeros((T * m_eff, bn), jnp.float32)
     for base, total, weight in specs:
         yp += weight * jnp.dot(xd, codes_scratch[base:base + total, :],
                                preferred_element_type=jnp.float32)
-    yp = yp.reshape(T, bm, bn)
+    yp = yp.reshape(T, m_eff, bn)
     s = s_blk.reshape(T, 1, bn).astype(jnp.float32)
     z = z_blk.reshape(T, 1, bn).astype(jnp.float32)
     corr = (z + zoff) * s                                        # [T, 1, bn]
-    return jnp.sum(s * yp - xsum.T[:, :, None] * corr, axis=0)   # [bm, bn]
+    y = jnp.sum(s * yp - xsum.T[:, :, None] * corr, axis=0)      # [m, bn]
+    if m_eff < bm:
+        y = jnp.concatenate(
+            [y, jnp.zeros((bm - m_eff, bn), y.dtype)], axis=0)
+    return y
 
 
 def _dequant_tile(w_blk, s_blk, z_blk, nbits, group_size, T, bn, acc_dtype):
@@ -218,7 +227,7 @@ def _dequant_tile(w_blk, s_blk, z_blk, nbits, group_size, T, bn, acc_dtype):
 
 def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
                 *, nbits, group_size, groups_per_tile, acc_dtype,
-                single_m):
+                single_m, m_real=None):
     # grid order (n, k, m): m innermost so one weight tile's dequantized
     # form (persisted in scratch) serves every m tile — at prefill/eval
     # shapes the old (m, n, k) order re-unpacked each weight tile per m
@@ -243,7 +252,7 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
         # cost); the f32 eval path keeps the exact fma dequant below
         y = _gemv_blockdiag(x_ref[:], w_ref[:], s_ref[0], z_ref[0],
                             nbits, group_size, T, bn, scratch,
-                            acc_dtype=acc_dtype)
+                            acc_dtype=acc_dtype, m_real=m_real)
         o_ref[:] += y.astype(o_ref.dtype)
         return
     if single_m:
@@ -311,7 +320,7 @@ def _quant_matmul_packed(
     kernel = functools.partial(
         _qmm_kernel, nbits=nbits, group_size=g,
         groups_per_tile=groups_per_tile, acc_dtype=acc_dtype,
-        single_m=single_m)
+        single_m=single_m, m_real=M if single_m else None)
 
     scale3 = scale.reshape(K // bk, groups_per_tile, N)
     zero3 = zero.reshape(K // bk, groups_per_tile, N)
@@ -352,7 +361,7 @@ def _quant_matmul_packed(
 
 def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
                         *, nbits, group_size, groups_per_tile, acc_dtype,
-                        single_m):
+                        single_m, m_real=None):
     del idx_ref  # consumed by the index maps
     k = pl.program_id(1)
     m = pl.program_id(2)
@@ -369,7 +378,7 @@ def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
         # cost); the f32 eval path keeps the exact fma dequant below
         y = _gemv_blockdiag(x_ref[:], w_ref[0], s_ref[0, 0], z_ref[0, 0],
                             nbits, group_size, T, bn, scratch,
-                            acc_dtype=acc_dtype)
+                            acc_dtype=acc_dtype, m_real=m_real)
         o_ref[:] += y.astype(o_ref.dtype)
         return
     if single_m:
@@ -438,7 +447,8 @@ def quant_matmul_indexed(
     single_m = grid[2] == 1 and bm <= 8
     kernel = functools.partial(
         _qmm_kernel_stacked, nbits=nbits, group_size=g,
-        groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m)
+        groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m,
+        m_real=M if single_m else None)
 
     scale4 = scale_stack.reshape(L, K // bk, T, N)
     zero4 = zero_stack.reshape(L, K // bk, T, N)
@@ -481,7 +491,7 @@ def quant_matmul_indexed(
 def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
                        scratch,
                        *, nbits, group_size, groups_per_tile, acc_dtype,
-                       single_m):
+                       single_m, m_real=None):
     """down-proj with the SwiGLU activation fused into the x prologue:
     x_tile = silu(gate_tile) * up_tile computed in-kernel, removing the
     elementwise XLA op (and pipeline boundary) between gate/up and down."""
@@ -504,7 +514,7 @@ def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
         # cost); the f32 eval path keeps the exact fma dequant below
         y = _gemv_blockdiag(x, w_ref[0], s_ref[0, 0], z_ref[0, 0],
                             nbits, group_size, T, bn, scratch,
-                            acc_dtype=acc_dtype)
+                            acc_dtype=acc_dtype, m_real=m_real)
         o_ref[:] += y.astype(o_ref.dtype)
         return
     if single_m:
@@ -569,7 +579,8 @@ def quant_matmul_swiglu_indexed(
     single_m = grid[2] == 1 and bm <= 8
     kernel = functools.partial(
         _qmm_kernel_swiglu, nbits=nbits, group_size=g,
-        groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m)
+        groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m,
+        m_real=M if single_m else None)
     scale4 = scale_stack.reshape(L, K // bk, T, N)
     zero4 = zero_stack.reshape(L, K // bk, T, N)
     idx = jnp.asarray(layer, jnp.int32).reshape(1)

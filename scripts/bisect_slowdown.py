@@ -44,29 +44,33 @@ def main():
     model = bench.random_stacked_model(cfg, rng)
     jax.block_until_ready(model.embed)
     sites = {n: model.sites[n][0] for n in model.sites}
+    meta = {n: (st.nbits, st.group_size, st.shape, st.superblock)
+            for n, st in sites.items()}
 
-    def site(name, x, li):
-        st = sites[name]
+    def site(S, name, x, li):
+        st = S[name]
+        nb, g, shp, sb = meta[name]
         return quant_matmul_indexed(
-            x, st.packed, st.scale, st.zero, li, nbits=st.nbits,
-            group_size=st.group_size, shape=st.shape,
-            superblock=st.superblock, acc_dtype=jnp.bfloat16,
+            x, st.packed, st.scale, st.zero, li, nbits=nb,
+            group_size=g, shape=shp,
+            superblock=sb, acc_dtype=jnp.bfloat16,
             out_dtype=jnp.bfloat16)
 
-    def down(g, u, li):
-        st = sites["mlp.down_proj"]
+    def down(S, g_, u, li):
+        st = S["mlp.down_proj"]
+        nb, g, shp, sb = meta["mlp.down_proj"]
         return quant_matmul_swiglu_indexed(
-            g, u, st.packed, st.scale, st.zero, li, nbits=st.nbits,
-            group_size=st.group_size, shape=st.shape,
-            superblock=st.superblock, acc_dtype=jnp.bfloat16,
+            g_, u, st.packed, st.scale, st.zero, li, nbits=nb,
+            group_size=g, shape=shp,
+            superblock=sb, acc_dtype=jnp.bfloat16,
             out_dtype=jnp.bfloat16)
 
-    def kernels_body(x, li):
-        qkv = site("self_attn.qkv_proj", x, li)
-        o = site("self_attn.o_proj", qkv[:, :H], li)
+    def kernels_body(S, x, li):
+        qkv = site(S, "self_attn.qkv_proj", x, li)
+        o = site(S, "self_attn.o_proj", qkv[:, :H], li)
         x = x + o
-        gu = site("mlp.gateup_proj", x, li)
-        return x + down(gu[:, :I], gu[:, I:2 * I], li)
+        gu = site(S, "mlp.gateup_proj", x, li)
+        return x + down(S, gu[:, :I], gu[:, I:2 * I], li)
 
     x0 = jnp.ones((1, H), jnp.bfloat16) * 0.01
     kshape = (L, 1, cfg.num_kv_heads, 200, cfg.head_dim_)
@@ -87,27 +91,27 @@ def main():
 
     # --- A: kernels only, nested scans, no cache ---
     @functools.partial(jax.jit, static_argnames="n")
-    def vA(n):
+    def vA(S, n):
         def step(x, _):
             def layer(x, li):
-                return kernels_body(x, li), None
+                return kernels_body(S, x, li), None
             x, _ = jax.lax.scan(layer, x,
                                 jnp.arange(L, dtype=jnp.int32))
             return x * 0.001, None
         x, _ = jax.lax.scan(step, x0, None, length=n)
         return x
-    t = timed(vA, 8, 64)
+    t = timed(lambda n: vA(sites, n), 8, 64)
     log(f"A kernels-only  : {t*1e6/L:7.1f} us/layer "
         f"({layer_mb/(t/L)/1e3:4.0f} GB/s)")
 
     # --- B: + kv cache xs/ys through the inner scan ---
     @functools.partial(jax.jit, static_argnames="n")
-    def vB(n):
+    def vB(S, n):
         def step(carry, _):
             x, kb, vb = carry
             def layer(x, xs):
                 li, k1, v1 = xs
-                x = kernels_body(x, li)
+                x = kernels_body(S, x, li)
                 # touch the cache slices so they stay live xs/ys
                 k1 = k1 + 0
                 v1 = v1 + 0
@@ -117,7 +121,7 @@ def main():
             return (x * 0.001, k2, v2), None
         (x, _, _), _ = jax.lax.scan(step, (x0, kbuf, kbuf), None, length=n)
         return x
-    t = timed(vB, 8, 64)
+    t = timed(lambda n: vB(sites, n), 8, 64)
     log(f"B +cache-xs     : {t*1e6/L:7.1f} us/layer "
         f"({layer_mb/(t/L)/1e3:4.0f} GB/s)")
 
@@ -125,15 +129,15 @@ def main():
     o_mb = (H * H * BIT / 8 + H // 128 * H * 4) / 1e6
 
     @functools.partial(jax.jit, static_argnames="n")
-    def vC(n):
+    def vC(S, n):
         def step(x, _):
             def layer(x, li):
-                return site("self_attn.o_proj", x, li), None
+                return site(S, "self_attn.o_proj", x, li), None
             x, _ = jax.lax.scan(layer, x, jnp.arange(L, dtype=jnp.int32))
             return x * 0.001, None
         x, _ = jax.lax.scan(step, x0, None, length=n)
         return x
-    t = timed(vC, 16, 128)
+    t = timed(lambda n: vC(sites, n), 16, 128)
     log(f"C one-kernel    : {t*1e6/L:7.1f} us/layer "
         f"({o_mb/(t/L)/1e3:4.0f} GB/s)")
 
