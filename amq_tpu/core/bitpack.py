@@ -65,6 +65,24 @@ def pick_superblock(K: int, group_size: int = 128,
     raise ValueError(f"no superblock for K={K}, group={group_size}")
 
 
+def pick_superblock_padded(K: int, group_size: int = 128,
+                           candidates=(1024, 512, 256, 128)):
+    """``(superblock, k_pad)`` allowing K to round UP to a big block.
+
+    Awkward in-features (Llama's 11008) otherwise force a small superblock
+    (256), i.e. 4x more grid steps in the fused kernels — and per-grid-step
+    overhead, not bytes, dominates the decode GEMV (scripts/bisect6.py).
+    Padding is accepted when bounded (<= block/4 and <= K/10): 11008 ->
+    1024-blocks with 256 zero rows (+2.3% streamed bytes for ~4x fewer
+    steps).  Zero-padded x rows contribute exactly 0 to the matmul.
+    """
+    for c in candidates:
+        pad = -K % c
+        if c % group_size == 0 and pad <= min(c // 4, K // 10):
+            return c, pad
+    raise ValueError(f"no superblock for K={K}, group={group_size}")
+
+
 def _pack_pow2_group(codes: jnp.ndarray, nbits: int) -> jnp.ndarray:
     """Pack ``[G, g, N]`` int codes (0 <= c < 2**nbits) -> ``[G, g*b/32, N]``.
 

@@ -179,7 +179,18 @@ def quantize(
     codes_kn = W_q.reshape(out_f, in_f).T.astype(jnp.uint32)  # [K, N]
     # a tensor-parallel shard must own whole superblocks: callers that
     # will shard K pass an explicit (smaller) superblock
-    superblock = superblock or bitpack.pick_superblock(in_f, group_size)
+    if superblock:
+        k_pad = 0
+        assert in_f % superblock == 0, (in_f, superblock)
+    else:
+        superblock, k_pad = bitpack.pick_superblock_padded(in_f, group_size)
+    if k_pad:
+        # round K up to whole superblocks (see pick_superblock_padded);
+        # zero codes/scale/zero rows dequantize to 0 and the kernels
+        # zero-pad x over the extra in-features
+        codes_kn = jnp.pad(codes_kn, ((0, k_pad), (0, 0)))
+        scale_t = jnp.pad(scale_t, ((0, k_pad // group_size), (0, 0)))
+        zero_t = jnp.pad(zero_t, ((0, k_pad // group_size), (0, 0)))
     packed = bitpack.pack(codes_kn, nbits, superblock)
 
     return QuantizedTensor(
@@ -195,13 +206,17 @@ def quantize(
 
 def dequantize_kn(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
     """Dequantize to the transposed ``[in, out]`` layout (kernel orientation)."""
-    codes = bitpack.unpack(qt.packed, qt.nbits, qt.superblock_)  # [K, N]
+    codes = bitpack.unpack(qt.packed, qt.nbits, qt.superblock_)  # [Kp, Np]
     K, N = codes.shape
     g = qt.group_size
     c = codes.reshape(K // g, g, N).astype(dtype)
     scale = qt.scale.reshape(K // g, 1, N).astype(dtype)
     zero = qt.zero.reshape(K // g, 1, N).astype(dtype)
-    return ((c - zero) * scale).reshape(K, N)
+    w = ((c - zero) * scale).reshape(K, N)
+    # packed arrays may be padded up to tile-friendly sizes (serving
+    # stacks pad K to the superblock and N to the kernel n-tile); the
+    # logical weight is the leading [in, out] block
+    return w[:qt.in_features, :qt.out_features]
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:

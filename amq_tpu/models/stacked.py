@@ -127,13 +127,25 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
                 per_layer.append(qts)
             q0 = per_layer[0][0]
             n_total = sum(q.shape[0] for q in per_layer[0])
+            # round the lane (out-feature) count up to the decode-GEMV
+            # n-tile when the pad is bounded: fused gate|up at 7B is
+            # 22016 lanes -> 22528 (11 x 2048 tiles instead of 43 x 512;
+            # per-grid-step overhead dominates the GEMV, bisect6.py).
+            # Pad columns are zero -> sliced off by the kernel wrappers.
+            n_pad = -n_total % 2048
+            if n_pad > n_total // 10:
+                n_pad = 0
+            pad3 = ((0, 0), (0, 0), (0, n_pad))
             stacks.append(StackedQuant(
-                packed=jnp.stack([jnp.concatenate(
-                    [q.packed for q in qts], axis=1) for qts in per_layer]),
-                scale=jnp.stack([jnp.concatenate(
-                    [q.scale for q in qts], axis=1) for qts in per_layer]),
-                zero=jnp.stack([jnp.concatenate(
-                    [q.zero for q in qts], axis=1) for qts in per_layer]),
+                packed=jnp.pad(jnp.stack([jnp.concatenate(
+                    [q.packed for q in qts], axis=1)
+                    for qts in per_layer]), pad3),
+                scale=jnp.pad(jnp.stack([jnp.concatenate(
+                    [q.scale for q in qts], axis=1)
+                    for qts in per_layer]), pad3),
+                zero=jnp.pad(jnp.stack([jnp.concatenate(
+                    [q.zero for q in qts], axis=1)
+                    for qts in per_layer]), pad3),
                 nbits=q0.nbits, group_size=q0.group_size,
                 shape=(n_total, q0.shape[1]), superblock=q0.superblock))
         sites[name] = tuple(stacks)

@@ -53,9 +53,10 @@ _BF16_128 = 0x43004300
 
 
 def _codes_scratch_shape(bk, bn, nbits):
-    """bf16 code-plane scratch for the block-diagonal GEMV path: 3/8-bit
-    store two planes (hi + lo), 1/2/4-bit one."""
-    rows = 2 * bk if nbits in (3, 8) else bk
+    """bf16 code-plane scratch for the block-diagonal GEMV path: 8-bit
+    stores two planes (hi + lo nibbles), everything else one (3-bit's
+    planes recombine exactly at extraction time — see _codes_tile_bf16)."""
+    rows = 2 * bk if nbits == 8 else bk
     return pltpu.VMEM((rows, bn), jnp.bfloat16)
 
 
@@ -82,16 +83,35 @@ def _codes_tile_bf16(w_blk, nbits, sb, T, group_size, bn, scratch):
 
     plane_specs: list of (row_offset_in_scratch, rows, weight) — the code
     matrix is ``sum_i weight_i * scratch[off_i:off_i+rows]`` where each
-    plane's rows are in K order.  For 2/4-bit one plane; 3-bit a 2-bit
-    plane (weight 2) + 1-bit plane (weight 1); 8-bit nibbles (16, 1).
-    VPU cost: extraction (~1.5 ops/value) + one store/value.
+    plane's rows are in K order.  For 1/2/3/4-bit ONE plane (3-bit's two
+    bit-planes recombine exactly during extraction); 8-bit nibble planes
+    (16, 1) — 16*hi + lo exceeds bf16's 7-bit mantissa, so it cannot.
+    VPU cost: extraction (~1.5-2.5 ops/value) + one store/value.
     """
     if nbits == 3:
+        # recombine the 2-bit and 1-bit planes into full 3-bit codes AT
+        # EXTRACTION so the GEMV needs ONE dot instead of two (the dots
+        # are MXU weight-load bound, so plane count is dot cost).  The
+        # 2-bit field is extracted to bit 0 under an OR with 0x4380
+        # (= bf16 256.0, whose mantissa LSB weighs 2): the bitcast yields
+        # exactly 256 + 2*c_hi; then (hi - 256) + (128 + c_lo) =
+        # 128 + (2*c_hi + c_lo) is exact at every step (values <= 135).
         hi_rows = packed_rows(sb, 2)
-        hi = _extract_pairs_bf16(w_blk[:hi_rows, :], 2, range(0, 16, 2))
+        hw = w_blk[:hi_rows, :]
+        pm2 = jnp.uint32(0x00030003)
+        c256 = jnp.uint32(0x43804380)
+        hi = [pltpu.bitcast((hw >> jnp.uint32(2 * p)) & pm2 | c256,
+                            jnp.bfloat16)
+              for p in range(8)]
         lo = _extract_pairs_bf16(w_blk[hi_rows:, :], 1, range(16))
-        planes = [(0, sb, 2.0, hi), (sb, sb, 1.0, lo)]
-        zoff = 3 * 128.0
+        half = hi[0].shape[0] // 2
+        b256 = jnp.bfloat16(256.0)
+        comb = []
+        for j, h in enumerate(hi):
+            comb.append((h[:half] - b256) + lo[2 * j])
+            comb.append((h[half:] - b256) + lo[2 * j + 1])
+        planes = [(0, sb, 1.0, comb)]
+        zoff = 128.0
     elif nbits == 8:
         hi = _extract_pairs_bf16(w_blk, 4, (4, 12))
         lo = _extract_pairs_bf16(w_blk, 4, (0, 8))
@@ -295,26 +315,32 @@ def _quant_matmul_packed(
     acc_dtype=jnp.float32,
     out_dtype=None,
 ) -> jnp.ndarray:
-    N, K = shape
+    N, K = shape                      # logical (out, in)
+    Np = packed.shape[1]              # arrays may be padded to tile sizes
+    Kp = packed.shape[0] * 32 // nbits
     M = x.shape[0]
     out_dtype = out_dtype or x.dtype
     g = group_size
 
     bm = block_m or (M if M <= 8 else _pick_tile(M, (256, 128, 64, 32, 16, 8)))
-    bn = block_n or _pick_tile(N, (1024, 512, 256, 128))
+    # decode GEMV: per-grid-step overhead dominates, prefer big n tiles
+    n_cands = (2048, 1024, 512, 256, 128) if M <= 8 else (1024, 512, 256, 128)
+    bn = block_n or _pick_tile(Np, n_cands)
     # the K tile must equal the planar packing block
-    bk = superblock or block_k or _pick_tile(K, (1024, 512, 256, 128))
+    bk = superblock or block_k or _pick_tile(Kp, (1024, 512, 256, 128))
     assert block_k in (None, bk), (block_k, bk)
     assert bk % g == 0, (bk, g)
     groups_per_tile = bk // g
     rows_per_tile = packed_rows(bk, nbits)
 
+    if K < Kp:                        # zero-pad x over padded in-features
+        x = jnp.pad(x, ((0, 0), (0, Kp - K)))
     # pad M up to the fp32 sublane tile
     m_pad = -M % max(bm, 8)
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
         bm = x.shape[0] if M <= 8 else bm
-    grid = (N // bn, K // bk, x.shape[0] // bm)
+    grid = (Np // bn, Kp // bk, x.shape[0] // bm)
 
     single_m = grid[2] == 1 and bm <= 8
     kernel = functools.partial(
@@ -322,8 +348,8 @@ def _quant_matmul_packed(
         groups_per_tile=groups_per_tile, acc_dtype=acc_dtype,
         single_m=single_m, m_real=M if single_m else None)
 
-    scale3 = scale.reshape(K // bk, groups_per_tile, N)
-    zero3 = zero.reshape(K // bk, groups_per_tile, N)
+    scale3 = scale.reshape(Kp // bk, groups_per_tile, Np)
+    zero3 = zero.reshape(Kp // bk, groups_per_tile, Np)
     scratch_shape = (
         _codes_scratch_shape(bk, bn, nbits)
         if single_m and acc_dtype == jnp.bfloat16
@@ -344,7 +370,7 @@ def _quant_matmul_packed(
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda n, k, m: (m, n),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], N), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], Np), out_dtype),
         scratch_shapes=[scratch_shape],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
@@ -356,7 +382,7 @@ def _quant_matmul_packed(
             transcendentals=0,
         ),
     )(x, packed, scale3, zero3)
-    return out[:M]
+    return out[:M, :N]
 
 
 def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
@@ -428,21 +454,25 @@ def quant_matmul_indexed(
     ``dynamic_index_in_dim`` would materialize an HBM->HBM copy of the
     whole layer first (measured ~2x decode slowdown).
     """
-    N, K = shape
-    L = packed_stack.shape[0]
+    N, K = shape                      # logical (out, in)
+    L, rows_total, Np = packed_stack.shape
+    Kp = rows_total * 32 // nbits
     M = x.shape[0]
     out_dtype = out_dtype or x.dtype
     g = group_size
     bk = superblock
-    bn = block_n or _pick_tile(N, (1024, 512, 256, 128))
+    n_cands = (2048, 1024, 512, 256, 128) if M <= 8 else (1024, 512, 256, 128)
+    bn = block_n or _pick_tile(Np, n_cands)
     T = bk // g
     rows_per_tile = packed_rows(bk, nbits)
 
+    if K < Kp:                        # zero-pad x over padded in-features
+        x = jnp.pad(x, ((0, 0), (0, Kp - K)))
     m_pad = -M % 8
     bm = M + m_pad if M <= 8 else _pick_tile(M, (256, 128, 64, 32, 16, 8))
     if m_pad and M <= 8:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
-    grid = (N // bn, K // bk, x.shape[0] // bm)
+    grid = (Np // bn, Kp // bk, x.shape[0] // bm)
 
     single_m = grid[2] == 1 and bm <= 8
     kernel = functools.partial(
@@ -450,8 +480,8 @@ def quant_matmul_indexed(
         groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m,
         m_real=M if single_m else None)
 
-    scale4 = scale_stack.reshape(L, K // bk, T, N)
-    zero4 = zero_stack.reshape(L, K // bk, T, N)
+    scale4 = scale_stack.reshape(L, Kp // bk, T, Np)
+    zero4 = zero_stack.reshape(L, Kp // bk, T, Np)
     idx = jnp.asarray(layer, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -474,7 +504,7 @@ def quant_matmul_indexed(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], N), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], Np), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
@@ -485,7 +515,7 @@ def quant_matmul_indexed(
             transcendentals=0,
         ),
     )(idx, x, packed_stack, scale4, zero4)
-    return out[:M]
+    return out[:M, :N]
 
 
 def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
@@ -559,30 +589,35 @@ def quant_matmul_swiglu_indexed(
 ) -> jnp.ndarray:
     """``silu(gate) * up @ W_down.T`` fused, layer-indexed (see
     quant_matmul_indexed)."""
-    N, K = shape
-    L = packed_stack.shape[0]
+    N, K = shape                      # logical (out, in)
+    L, rows_total, Np = packed_stack.shape
+    Kp = rows_total * 32 // nbits
     M = gate.shape[0]
     out_dtype = out_dtype or gate.dtype
     g = group_size
     bk = superblock
-    bn = block_n or _pick_tile(N, (1024, 512, 256, 128))
+    n_cands = (2048, 1024, 512, 256, 128) if M <= 8 else (1024, 512, 256, 128)
+    bn = block_n or _pick_tile(Np, n_cands)
     T = bk // g
     rows_per_tile = packed_rows(bk, nbits)
 
+    if K < Kp:                        # zero-pad over padded in-features
+        gate = jnp.pad(gate, ((0, 0), (0, Kp - K)))
+        up = jnp.pad(up, ((0, 0), (0, Kp - K)))
     m_pad = -M % 8
     bm = M + m_pad if M <= 8 else _pick_tile(M, (256, 128, 64, 32, 16, 8))
     if m_pad and M <= 8:
         gate = jnp.pad(gate, ((0, m_pad), (0, 0)))
         up = jnp.pad(up, ((0, m_pad), (0, 0)))
-    grid = (N // bn, K // bk, gate.shape[0] // bm)
+    grid = (Np // bn, Kp // bk, gate.shape[0] // bm)
 
     single_m = grid[2] == 1 and bm <= 8
     kernel = functools.partial(
         _qmm_kernel_swiglu, nbits=nbits, group_size=g,
         groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m,
         m_real=M if single_m else None)
-    scale4 = scale_stack.reshape(L, K // bk, T, N)
-    zero4 = zero_stack.reshape(L, K // bk, T, N)
+    scale4 = scale_stack.reshape(L, Kp // bk, T, Np)
+    zero4 = zero_stack.reshape(L, Kp // bk, T, Np)
     idx = jnp.asarray(layer, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -606,7 +641,7 @@ def quant_matmul_swiglu_indexed(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((gate.shape[0], N), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((gate.shape[0], Np), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
@@ -617,7 +652,7 @@ def quant_matmul_swiglu_indexed(
             transcendentals=M * K,
         ),
     )(idx, gate, up, packed_stack, scale4, zero4)
-    return out[:M]
+    return out[:M, :N]
 
 
 def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,

@@ -31,7 +31,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from amq_tpu.core.bitpack import packed_rows, pick_superblock  # noqa: E402
+from amq_tpu.core.bitpack import pick_superblock_padded  # noqa: E402
 from amq_tpu.models import get_config  # noqa: E402
 from amq_tpu.models.config import LINEAR_NAMES  # noqa: E402
 from amq_tpu.models.llama import KVCache  # noqa: E402
@@ -61,6 +61,16 @@ def _bench_sites(cfg):
     }
 
 
+def _padded_site(N, K):
+    """Tile-friendly padded (Np, Kp): K to whole superblocks, N to the
+    decode n-tile (mirrors core.quantize + stacked.stack_proxies)."""
+    _, k_pad = pick_superblock_padded(K, GROUP)
+    n_pad = -N % 2048
+    if n_pad > N // 10:
+        n_pad = 0
+    return N + n_pad, K + k_pad
+
+
 def random_stacked_model(cfg, rng) -> StackedModel:
     """Synthetic packed model, generated ON DEVICE (host->device transfer of
     ~9 GB over the axon tunnel takes tens of minutes; jax.random on-chip
@@ -73,19 +83,20 @@ def random_stacked_model(cfg, rng) -> StackedModel:
     def gen(key):
         out = {}
         for name, (N, K) in site_shapes.items():
+            Np, Kp = _padded_site(N, K)
             for b in BITS_RANGE:
                 key, k1, k2, k3 = jax.random.split(key, 4)
-                rows = K * b // 32
+                rows = Kp * b // 32
                 out[f"{name}/{b}/packed"] = jax.random.bits(
-                    k1, (L, rows, N), jnp.uint32)
+                    k1, (L, rows, Np), jnp.uint32)
                 # bf16 scale/zero: halves the per-group metadata stream
                 meta = getattr(jnp, os.environ.get("BENCH_META",
                                                    "bfloat16"))
                 out[f"{name}/{b}/scale"] = (jax.random.uniform(
-                    k2, (L, K // GROUP, N), jnp.float32) * 0.02
+                    k2, (L, Kp // GROUP, Np), jnp.float32) * 0.02
                 ).astype(meta)
                 out[f"{name}/{b}/zero"] = (jax.random.uniform(
-                    k3, (L, K // GROUP, N), jnp.float32) * (2**b - 1)
+                    k3, (L, Kp // GROUP, Np), jnp.float32) * (2**b - 1)
                 ).astype(meta)
         key, k1, k2 = jax.random.split(key, 3)
         out["embed"] = (jax.random.normal(k1, (cfg.vocab_size, H), jnp.float32)
@@ -97,7 +108,7 @@ def random_stacked_model(cfg, rng) -> StackedModel:
     arrs = gen(jax.random.PRNGKey(0))
     sites, biases, select = {}, {}, {}
     for name, (N, K) in site_shapes.items():
-        sb = pick_superblock(K, GROUP)
+        sb, _ = pick_superblock_padded(K, GROUP)
         sites[name] = tuple(
             StackedQuant(packed=arrs[f"{name}/{b}/packed"],
                          scale=arrs[f"{name}/{b}/scale"],
@@ -119,12 +130,14 @@ def random_stacked_model(cfg, rng) -> StackedModel:
 
 
 def weight_bytes_per_token(cfg) -> float:
-    """HBM bytes touched per decode token (packed weights + scale/zero)."""
+    """HBM bytes touched per decode token (packed weights + scale/zero,
+    including the tile-padding overhead actually streamed)."""
     total = 0.0
     for name, (N, K) in _bench_sites(cfg).items():
+        Np, Kp = _padded_site(N, K)
         for i in range(cfg.num_layers):
             b = BITS_RANGE[i % len(BITS_RANGE)]
-            total += K * N * b / 8 + (K // GROUP) * N * 2 * 2  # bf16 s/z
+            total += Kp * Np * b / 8 + (Kp // GROUP) * Np * 2 * 2  # bf16 s/z
     total += 2 * cfg.vocab_size * cfg.hidden_size * 2  # embed + head bf16
     return total
 

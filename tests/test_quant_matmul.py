@@ -30,6 +30,27 @@ def test_matches_reference(nbits, M):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("nbits", [2, 3, 4, 8])
+@pytest.mark.parametrize("M", [1, 4])
+def test_decode_gemv_bf16_matches_reference(nbits, M):
+    """bf16 x selects the block-diagonal serving GEMV (single plane via
+    the 256-scale recombination at 3-bit) — a separate code path from the
+    f32 fma dequant exercised above."""
+    rng = np.random.default_rng(1)
+    N, K = 256, 512
+    W = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32) * 0.02)
+    qt = q.quantize(W, nbits=nbits, group_size=128)
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+
+    want = quant_matmul_reference(x, qt, out_dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = quant_matmul(x, qt, out_dtype=jnp.float32)
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(want) / scale, atol=2e-2)
+
+
 @pytest.mark.parametrize("nbits", [2, 3, 4])
 def test_indexed_stacked_matches_per_layer(nbits):
     from amq_tpu.ops.quant_matmul import quant_matmul_indexed
