@@ -52,12 +52,10 @@ def _pick_tile(dim: int, candidates) -> int:
 _BF16_128 = 0x43004300
 
 
-def _codes_scratch_shape(bk, bn, nbits):
-    """bf16 code-plane scratch for the block-diagonal GEMV path: 8-bit
-    stores two planes (hi + lo nibbles), everything else one (3-bit's
-    planes recombine exactly at extraction time — see _codes_tile_bf16)."""
-    rows = 2 * bk if nbits == 8 else bk
-    return pltpu.VMEM((rows, bn), jnp.bfloat16)
+#: the single-m (decode GEMV) path feeds code planes to the dot as values
+#: (no scratch round-trip — bisect8.py); pallas still wants a scratch
+#: entry, so it gets a minimal placeholder
+_DUMMY_SCRATCH = pltpu.VMEM((8, 128), jnp.bfloat16)
 
 
 def _extract_pairs_bf16(words, field_bits, shifts):
@@ -77,16 +75,15 @@ def _extract_pairs_bf16(words, field_bits, shifts):
             for s in shifts]
 
 
-def _codes_tile_bf16(w_blk, nbits, sb, T, group_size, bn, scratch):
-    """Materialize the raw ``128 + c`` bf16 code planes of one superblock
-    into ``scratch`` (K-order) and return (plane_specs, zoff).
+def _codes_chunks_bf16(w_blk, nbits, sb):
+    """Extract one superblock's raw ``128 + c`` bf16 code chunks.
 
-    plane_specs: list of (row_offset_in_scratch, rows, weight) — the code
-    matrix is ``sum_i weight_i * scratch[off_i:off_i+rows]`` where each
-    plane's rows are in K order.  For 1/2/3/4-bit ONE plane (3-bit's two
-    bit-planes recombine exactly during extraction); 8-bit nibble planes
-    (16, 1) — 16*hi + lo exceeds bf16's 7-bit mantissa, so it cannot.
-    VPU cost: extraction (~1.5-2.5 ops/value) + one store/value.
+    Returns (chunk_list, plane_splits, zoff): concatenating the chunks row-
+    wise gives the code matrix in K order.  ``plane_splits`` is a list of
+    (n_chunks, weight): for 1/2/3/4-bit ONE plane of weight 1 (3-bit's two
+    bit-planes recombine exactly during extraction); for 8-bit two nibble
+    planes (16, 1) — 16*hi + lo exceeds bf16's 7-bit mantissa.
+    VPU cost: extraction only (~1.5-2.5 ops/value).
     """
     if nbits == 3:
         # recombine the 2-bit and 1-bit planes into full 3-bit codes AT
@@ -110,32 +107,24 @@ def _codes_tile_bf16(w_blk, nbits, sb, T, group_size, bn, scratch):
         for j, h in enumerate(hi):
             comb.append((h[:half] - b256) + lo[2 * j])
             comb.append((h[half:] - b256) + lo[2 * j + 1])
-        planes = [(0, sb, 1.0, comb)]
+        chunks, splits = comb, [(len(comb), 1.0)]
         zoff = 128.0
     elif nbits == 8:
         hi = _extract_pairs_bf16(w_blk, 4, (4, 12))
         lo = _extract_pairs_bf16(w_blk, 4, (0, 8))
-        planes = [(0, sb, 16.0, hi), (sb, sb, 1.0, lo)]
+        chunks, splits = hi + lo, [(len(hi), 16.0), (len(lo), 1.0)]
         zoff = 17 * 128.0
     else:
         P = 16 // nbits
         chunks = _extract_pairs_bf16(w_blk, nbits,
                                      [nbits * p for p in range(P)])
-        planes = [(0, sb, 1.0, chunks)]
+        splits = [(len(chunks), 1.0)]
         zoff = 128.0
-    specs = []
-    for base, total, weight, chunks in planes:
-        rows = chunks[0].shape[0]
-        off = base
-        for ch in chunks:
-            scratch[off:off + rows, :] = ch
-            off += rows
-        specs.append((base, total, weight))
-    return specs, zoff
+    return chunks, splits, zoff
 
 
 def _gemv_blockdiag(x, w_blk, s_blk, z_blk, nbits, group_size, T, bn,
-                    codes_scratch, acc_dtype=jnp.bfloat16, m_real=None):
+                    acc_dtype=jnp.bfloat16, m_real=None):
     """Decode-regime (small m) dequant-matmul of one superblock tile.
 
     Per-group scale cannot ride a single plain matmul, and per-group
@@ -146,6 +135,12 @@ def _gemv_blockdiag(x, w_blk, s_blk, z_blk, nbits, group_size, T, bn,
         X'[g*m + i, k] = x[i, k] if k in group g else 0
         y_p = X' @ (c + 128)        -> [T*m, bn], ONE dot per plane
         y   = sum_g s_g * y_p[g] - s_g * (z_g + zoff) * xsum_g
+
+    The code planes feed the dot as a VALUE (concatenated extraction
+    chunks), NOT via a VMEM scratch round-trip — the store+reload
+    serializes extraction against the dot and was measured 25% slower
+    (scripts/bisect8.py: S1 40.4 us vs S2 30.3 us on the 3-bit o_proj
+    chain).
 
     ``m_real`` is the true (unpadded) batch: the block-diagonal X' is
     built from only those rows, rounded up so ``T * m_eff`` stays
@@ -169,12 +164,14 @@ def _gemv_blockdiag(x, w_blk, s_blk, z_blk, nbits, group_size, T, bn,
     xd = jnp.where(k_ids == g_ids, xb[None],
                    jnp.zeros((), acc_dtype)).reshape(T * m_eff, sb)
 
-    specs, zoff = _codes_tile_bf16(w_blk, nbits, sb, T, group_size, bn,
-                                   codes_scratch)
+    chunks, splits, zoff = _codes_chunks_bf16(w_blk, nbits, sb)
     yp = jnp.zeros((T * m_eff, bn), jnp.float32)
-    for base, total, weight in specs:
-        yp += weight * jnp.dot(xd, codes_scratch[base:base + total, :],
+    off = 0
+    for n_chunks, weight in splits:
+        codes = jnp.concatenate(chunks[off:off + n_chunks], axis=0)
+        yp += weight * jnp.dot(xd, codes,
                                preferred_element_type=jnp.float32)
+        off += n_chunks
     yp = yp.reshape(T, m_eff, bn)
     s = s_blk.reshape(T, 1, bn).astype(jnp.float32)
     z = z_blk.reshape(T, 1, bn).astype(jnp.float32)
@@ -271,7 +268,7 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
         # serving GEMV: block-diagonal grouped path (extraction-only VPU
         # cost); the f32 eval path keeps the exact fma dequant below
         y = _gemv_blockdiag(x_ref[:], w_ref[:], s_ref[0], z_ref[0],
-                            nbits, group_size, T, bn, scratch,
+                            nbits, group_size, T, bn,
                             acc_dtype=acc_dtype, m_real=m_real)
         o_ref[:] += y.astype(o_ref.dtype)
         return
@@ -351,7 +348,7 @@ def _quant_matmul_packed(
     scale3 = scale.reshape(Kp // bk, groups_per_tile, Np)
     zero3 = zero.reshape(Kp // bk, groups_per_tile, Np)
     scratch_shape = (
-        _codes_scratch_shape(bk, bn, nbits)
+        _DUMMY_SCRATCH
         if single_m and acc_dtype == jnp.bfloat16
         else pltpu.VMEM((bk, bn), acc_dtype))
 
@@ -403,7 +400,7 @@ def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
         # serving GEMV: block-diagonal grouped path (extraction-only VPU
         # cost); the f32 eval path keeps the exact fma dequant below
         y = _gemv_blockdiag(x_ref[:], w_ref[0], s_ref[0, 0], z_ref[0, 0],
-                            nbits, group_size, T, bn, scratch,
+                            nbits, group_size, T, bn,
                             acc_dtype=acc_dtype, m_real=m_real)
         o_ref[:] += y.astype(o_ref.dtype)
         return
@@ -497,7 +494,7 @@ def quant_matmul_indexed(
                          lambda n, k, m, idx: (idx[0], k, 0, n)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda n, k, m, idx: (m, n)),
-        scratch_shapes=[_codes_scratch_shape(bk, bn, nbits)
+        scratch_shapes=[_DUMMY_SCRATCH
                         if single_m and acc_dtype == jnp.bfloat16
                         else pltpu.VMEM((bk, bn), acc_dtype)],
     )
@@ -543,7 +540,7 @@ def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
         # serving GEMV: block-diagonal grouped path (extraction-only VPU
         # cost); the f32 eval path keeps the exact fma dequant below
         y = _gemv_blockdiag(x, w_ref[0], s_ref[0, 0], z_ref[0, 0],
-                            nbits, group_size, T, bn, scratch,
+                            nbits, group_size, T, bn,
                             acc_dtype=acc_dtype, m_real=m_real)
         o_ref[:] += y.astype(o_ref.dtype)
         return
@@ -634,7 +631,7 @@ def quant_matmul_swiglu_indexed(
                          lambda n, k, m, idx: (idx[0], k, 0, n)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda n, k, m, idx: (m, n)),
-        scratch_shapes=[_codes_scratch_shape(bk, bn, nbits)
+        scratch_shapes=[_DUMMY_SCRATCH
                         if single_m and acc_dtype == jnp.bfloat16
                         else pltpu.VMEM((bk, bn), acc_dtype)],
     )

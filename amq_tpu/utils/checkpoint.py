@@ -14,7 +14,12 @@ import os
 from typing import Any, Dict
 
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
+
+#: dtypes the ``.npy`` format cannot represent (they round-trip as void
+#: ``|V2`` blobs) — stored as same-width uint views + a manifest entry
+_NONNATIVE = {"bfloat16": (ml_dtypes.bfloat16, np.uint16)}
 
 from ..core.quantize import QuantizedTensor
 from ..models.config import LINEAR_NAMES, ModelConfig, get_config
@@ -26,10 +31,17 @@ def save_quantized(params: Dict[str, Any], cfg: ModelConfig, path: str,
     os.makedirs(path, exist_ok=True)
     arrays: Dict[str, np.ndarray] = {}
     manifest: Dict[str, Any] = {"model": cfg.name, "layers": [],
+                                "nonnative_dtypes": {},
                                 **(extra_meta or {})}
 
     def put(key, arr):
-        arrays[key] = np.asarray(arr)
+        a = np.asarray(arr)
+        for name, (dt, view_dt) in _NONNATIVE.items():
+            if a.dtype == dt:
+                manifest["nonnative_dtypes"][key] = name
+                a = a.view(view_dt)
+                break
+        arrays[key] = a
 
     put("embed", params["embed"])
     put("final_norm", params["final_norm"])
@@ -68,9 +80,15 @@ def load_quantized(path: str, dtype=jnp.float32) -> tuple[Dict[str, Any], ModelC
         manifest = json.load(f)
     cfg = get_config(manifest["model"])
     blob = np.load(os.path.join(path, "qmodel.npz"))
+    nonnative = manifest.get("nonnative_dtypes", {})
 
     def get(key, cast=True):
-        a = jnp.asarray(blob[key])
+        raw = blob[key]
+        if key in nonnative:
+            # deliberately-narrow storage (e.g. bf16 serving metadata):
+            # keep as stored, don't widen to the load dtype
+            return jnp.asarray(raw.view(_NONNATIVE[nonnative[key]][0]))
+        a = jnp.asarray(raw)
         return a.astype(dtype) if cast and a.dtype.kind == "f" else a
 
     params: Dict[str, Any] = {

@@ -25,6 +25,25 @@ def test_quantized_roundtrip(tmp_path):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_quantized_roundtrip_bf16_meta(tmp_path):
+    """bf16 scale/zero (the serving meta_dtype default) must survive the
+    npz round trip — numpy silently stores ml_dtypes arrays as void
+    ``|V2`` blobs unless viewed through a native dtype."""
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    q = quantize_model(params, cfg, 3, meta_dtype=jnp.bfloat16)
+    save_quantized(q, cfg, str(tmp_path / "m"), extra_meta={"nbits": 3})
+    loaded, _ = load_quantized(str(tmp_path / "m"))
+
+    ql = loaded["layers"][0]["self_attn.q_proj"]
+    assert ql.qt.scale.dtype == jnp.bfloat16
+    toks = jnp.arange(6, dtype=jnp.int32)[None]
+    a, _ = forward(q, cfg, toks)
+    b, _ = forward(loaded, cfg, toks)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_rbf_interpolates_training_points():
     from amq_tpu.predictor import RBF
     rng = np.random.default_rng(0)
