@@ -36,7 +36,17 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="shard evaluation batches over all local devices "
                         "(mesh 'data' axis; replaces the reference's "
                         "Accelerate process sharding)")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=("bfloat16", "float32"),
+                   help="evaluation forward dtype; bfloat16 mirrors the "
+                        "reference's fp16 model (utils/func.py "
+                        "get_hfmodel) and doubles MXU rate")
     return p
+
+
+def compute_dtype(args):
+    import jax.numpy as jnp
+    return getattr(jnp, args.compute_dtype)
 
 
 def data_mesh(args):

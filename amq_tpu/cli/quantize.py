@@ -14,7 +14,8 @@ import json
 
 import numpy as np
 
-from .common import base_parser, dump_json, load_model, load_tokens, setup_jax, data_mesh
+from .common import (base_parser, compute_dtype, data_mesh, dump_json,
+                     load_model, load_tokens, setup_jax)
 
 
 def select_candidates(archive, target_bits: float, offset: float, n: int,
@@ -90,7 +91,8 @@ def main(argv=None):
 
     ev = Evaluator(cfg, dense_params=params, datasets=datasets, search=False,
                    group_size=args.group_size, batch_size=args.batch_size,
-                   mesh=data_mesh(args), quantize_fn=quantize_fn)
+                   mesh=data_mesh(args), quantize_fn=quantize_fn,
+                   compute_dtype=compute_dtype(args))
 
     results = []
     for arch, metric, bits in selected:

@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import os
 
-from .common import base_parser, dump_json, load_model, load_tokens, setup_jax, data_mesh
+from .common import (base_parser, compute_dtype, data_mesh, dump_json,
+                     load_model, load_tokens, setup_jax)
 
 
 def main(argv=None):
@@ -36,7 +37,7 @@ def main(argv=None):
     ev = Evaluator(cfg, dense_params=params, proxies=proxies,
                    datasets={args.dataset: tokens},
                    group_size=args.group_size, batch_size=args.batch_size,
-                   mesh=data_mesh(args))
+                   mesh=data_mesh(args), compute_dtype=compute_dtype(args))
     table = linear_sensitivity(ev, args.dataset, progress=True)
     # local:<path> datasets carry slashes; keep the filename flat
     ds_tag = os.path.basename(args.dataset.replace("local:", ""))

@@ -39,7 +39,10 @@ from amq_tpu.models.stacked import StackedModel, StackedQuant  # noqa: E402
 from amq_tpu.serving import Engine  # noqa: E402
 
 MODEL = os.environ.get("BENCH_MODEL", "Llama-2-7b-hf")
-BITS_RANGE = (2, 3, 4)
+#: BENCH_BITS="3" benches a uniform all-3-bit model (per-bit attribution);
+#: default is the mixed 2/3/4 cycle (mean exactly 3 bits)
+BITS_RANGE = tuple(int(b) for b in
+                   os.environ.get("BENCH_BITS", "2,3,4").split(","))
 GROUP = 128
 PROMPT_LEN = 64          # reference default (amq_speed_benchmark.py:107-109)
 GEN_LEN = 128
