@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--n_slots", type=int, default=4)
     p.add_argument("--n_requests", type=int, default=16)
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--native_pack", action="store_true",
+                   help="capacity-optimal native bit packing (default "
+                        "serves 3-bit codes via the faster 4-bit "
+                        "container path, +1/3 streamed bytes)")
     p.add_argument("--save_path", type=str, default="speed_out")
     # serving benchmark batch matches the reference default (batch 1,
     # amq_speed_benchmark.py:107-109); the shared default of 8 is for the
@@ -39,7 +43,7 @@ def main(argv=None):
 
     from ..models import quantize_model
     from ..models.config import LINEAR_NAMES
-    from ..models.stacked import stack_proxies
+    from ..models.stacked import SERVE_CONTAINERS, stack_proxies
     from ..serving import Engine
     from ..serving.benchmark import benchmark_speed, device_peak_gib
     from ..utils.checkpoint import load_quantized
@@ -62,7 +66,9 @@ def main(argv=None):
                                for i in range(cfg.num_layers)]
                            for j, l in enumerate(LINEAR_NAMES)}}
 
-    model = stack_proxies(proxies, bits_range, arch)
+    model = stack_proxies(
+        proxies, bits_range, arch,
+        container_bits=None if args.native_pack else SERVE_CONTAINERS)
     eng = Engine(model, cfg, batch_size=args.batch_size,
                  max_len=args.prompt_len + args.gen_len + 8,
                  compute_dtype=jnp.bfloat16, use_pallas=not args.no_pallas)

@@ -204,6 +204,26 @@ def quantize(
     )
 
 
+def to_container(qt: QuantizedTensor, container_bits: int) -> QuantizedTensor:
+    """Repack the same codes into wider ``container_bits`` fields.
+
+    Code values, scale, and zero are untouched, so the dequantized weight
+    is bit-identical — only the packed storage/stream width changes.  Used
+    to serve 3-bit layers through the 4-bit kernel path: the measured
+    decode GEMV is VPU-extraction-bound, and the 3-bit 2+1-plane
+    recombination costs ~3.3x the ops of nibble extraction (all-3-bit
+    16.2 ms/token vs all-4-bit 7.9 on Llama-2-7B; scripts/bisect7.py), so
+    streaming 4 bits for 3-bit codes is a strict wall-clock win at +1/3
+    HBM bytes.  Native 3-bit packing remains the capacity-optimal option.
+    """
+    assert container_bits >= qt.nbits, (qt.nbits, container_bits)
+    if container_bits == qt.nbits:
+        return qt
+    codes = bitpack.unpack(qt.packed, qt.nbits, qt.superblock_)
+    packed = bitpack.pack(codes, container_bits, qt.superblock_)
+    return dataclasses.replace(qt, packed=packed, nbits=container_bits)
+
+
 def dequantize_kn(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
     """Dequantize to the transposed ``[in, out]`` layout (kernel orientation)."""
     codes = bitpack.unpack(qt.packed, qt.nbits, qt.superblock_)  # [Kp, Np]

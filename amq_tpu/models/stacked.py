@@ -95,17 +95,32 @@ def _arch_fusable(arch: Optional[Dict], L: int) -> bool:
     return True
 
 
+#: serving default: 3-bit codes ride the 4-bit kernel path (the decode
+#: GEMV is VPU-extraction-bound; nibble extraction is ~2x faster than the
+#: 2+1-plane recombination at +1/3 streamed bytes — core.quantize
+#: .to_container).  Pass {} for capacity-optimal native packing.
+SERVE_CONTAINERS = {3: 4}
+
+
 def stack_proxies(proxies: Sequence[Dict[str, Any]],
                   bits_range: Sequence[int],
                   arch: Optional[Dict] = None,
-                  fuse: str = "auto") -> StackedModel:
+                  fuse: str = "auto",
+                  container_bits: Optional[Dict[int, int]] = None
+                  ) -> StackedModel:
     """Fold per-bit quantized pytrees (quantize_model outputs) into a
     StackedModel.
 
     ``fuse``: 'auto' fuses q/k/v and gate/up into single kernel launches
     when the arch's bits agree within each group (launch overhead on this
     backend makes call count matter); 'never' keeps the 7 separate sites.
+
+    ``container_bits``: logical bit-width -> packed container width (e.g.
+    ``SERVE_CONTAINERS``); codes/scales are untouched, only the stream
+    width changes.  Default None = native packing (eval/tests).
     """
+    from ..core.quantize import to_container
+    container_bits = container_bits or {}
     base = proxies[-1]
     L = len(base["layers"])
     do_fuse = fuse == "always" or (fuse == "auto" and _arch_fusable(arch, L))
@@ -120,10 +135,12 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
     select: Dict[str, jnp.ndarray] = {}
     for name, members in site_names.items():
         stacks = []
-        for p in proxies:
+        for bit, p in zip(bits_range, proxies):
+            cont = container_bits.get(bit, bit)
             per_layer = []
             for i in range(L):
-                qts = [p["layers"][i][m].qt for m in members]
+                qts = [to_container(p["layers"][i][m].qt, cont)
+                       for m in members]
                 per_layer.append(qts)
             q0 = per_layer[0][0]
             n_total = sum(q.shape[0] for q in per_layer[0])

@@ -272,7 +272,10 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
                             acc_dtype=acc_dtype, m_real=m_real)
         o_ref[:] += y.astype(o_ref.dtype)
         return
-    if single_m:
+    if single_m or pl.num_programs(2) == 1:
+        # one m tile: the dequantized tile is used exactly once — feed it
+        # to the dot as a VALUE (a scratch store+reload serializes unpack
+        # against the dot; measured 25% slower, scripts/bisect8.py)
         w = _dequant_tile(w_ref[:], s_ref[0], z_ref[0], nbits,
                           group_size, T, bn, acc_dtype
                           ).reshape(T * group_size, bn)
@@ -404,7 +407,8 @@ def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
                             acc_dtype=acc_dtype, m_real=m_real)
         o_ref[:] += y.astype(o_ref.dtype)
         return
-    if single_m:
+    if single_m or pl.num_programs(2) == 1:
+        # one m tile -> dequant feeds the dot as a value (see _qmm_kernel)
         w = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
                           group_size, T, bn, acc_dtype
                           ).reshape(T * group_size, bn)
@@ -544,7 +548,8 @@ def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
                             acc_dtype=acc_dtype, m_real=m_real)
         o_ref[:] += y.astype(o_ref.dtype)
         return
-    if single_m:
+    if single_m or pl.num_programs(2) == 1:
+        # one m tile -> dequant feeds the dot as a value (see _qmm_kernel)
         w = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
                           group_size, T, bn, acc_dtype
                           ).reshape(T * group_size, bn)

@@ -43,6 +43,13 @@ MODEL = os.environ.get("BENCH_MODEL", "Llama-2-7b-hf")
 #: default is the mixed 2/3/4 cycle (mean exactly 3 bits)
 BITS_RANGE = tuple(int(b) for b in
                    os.environ.get("BENCH_BITS", "2,3,4").split(","))
+#: serving container per logical bit width (models/stacked.SERVE_CONTAINERS):
+#: 3-bit codes ride the 4-bit kernel path — the GEMV is VPU-extraction-
+#: bound and nibble extraction is ~2x faster than 2+1-plane recombination
+#: (all-3 16.2 ms/token vs all-4 7.9).  BENCH_NATIVE3=1 restores the
+#: capacity-optimal native 3-bit stream.
+_NATIVE3 = os.environ.get("BENCH_NATIVE3", "0") == "1"
+CONTAINER = {b: (4 if b == 3 and not _NATIVE3 else b) for b in BITS_RANGE}
 GROUP = 128
 PROMPT_LEN = 64          # reference default (amq_speed_benchmark.py:107-109)
 GEN_LEN = 128
@@ -89,7 +96,7 @@ def random_stacked_model(cfg, rng) -> StackedModel:
             Np, Kp = _padded_site(N, K)
             for b in BITS_RANGE:
                 key, k1, k2, k3 = jax.random.split(key, 4)
-                rows = Kp * b // 32
+                rows = Kp * CONTAINER[b] // 32
                 out[f"{name}/{b}/packed"] = jax.random.bits(
                     k1, (L, rows, Np), jnp.uint32)
                 # bf16 scale/zero: halves the per-group metadata stream
@@ -116,7 +123,7 @@ def random_stacked_model(cfg, rng) -> StackedModel:
             StackedQuant(packed=arrs[f"{name}/{b}/packed"],
                          scale=arrs[f"{name}/{b}/scale"],
                          zero=arrs[f"{name}/{b}/zero"],
-                         nbits=b, group_size=GROUP, shape=(N, K),
+                         nbits=CONTAINER[b], group_size=GROUP, shape=(N, K),
                          superblock=sb)
             for b in BITS_RANGE)
         biases[name] = None
@@ -134,12 +141,12 @@ def random_stacked_model(cfg, rng) -> StackedModel:
 
 def weight_bytes_per_token(cfg) -> float:
     """HBM bytes touched per decode token (packed weights + scale/zero,
-    including the tile-padding overhead actually streamed)."""
+    including tile padding and container widening actually streamed)."""
     total = 0.0
     for name, (N, K) in _bench_sites(cfg).items():
         Np, Kp = _padded_site(N, K)
         for i in range(cfg.num_layers):
-            b = BITS_RANGE[i % len(BITS_RANGE)]
+            b = CONTAINER[BITS_RANGE[i % len(BITS_RANGE)]]
             total += Kp * Np * b / 8 + (Kp // GROUP) * Np * 2 * 2  # bf16 s/z
     total += 2 * cfg.vocab_size * cfg.hidden_size * 2  # embed + head bf16
     return total

@@ -80,3 +80,38 @@ def test_meta_dtype_bf16_quality():
         eb = float(jnp.abs(W - q.dequantize(qb)).mean())
         # bf16 meta may not add more than 2% to the reconstruction error
         assert eb <= ef * 1.02, (nbits, ef, eb)
+
+
+def test_to_container_is_code_preserving():
+    """Serving 3-bit codes in 4-bit (nibble) containers must be
+    bit-identical to the native packing after dequantization — only the
+    packed stream width changes (core.quantize.to_container)."""
+    rng = np.random.default_rng(9)
+    W = jnp.asarray(rng.normal(size=(128, 512)).astype(np.float32))
+    for nbits, cont in ((3, 4), (2, 4), (2, 8), (3, 8), (4, 8)):
+        qt = q.quantize(W, nbits=nbits, superblock=256)
+        qc = q.to_container(qt, cont)
+        assert qc.nbits == cont
+        assert qc.packed.shape[0] == qt.packed.shape[0] * cont // nbits
+        np.testing.assert_array_equal(
+            np.asarray(q.dequantize(qc)), np.asarray(q.dequantize(qt)))
+
+
+def test_stack_proxies_container_matches_native():
+    import jax
+    from amq_tpu.models import get_config, init_params, quantize_model
+    from amq_tpu.models.stacked import forward_stacked, stack_proxies
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    bits = (2, 3, 4)
+    proxies = [quantize_model(params, cfg, b) for b in bits]
+    arch = {"linear": {n: [bits[i % 3] for i in range(cfg.num_layers)]
+                       for n in cfg.topology()["linear"]}}
+    native = stack_proxies(proxies, bits, arch)
+    nibble = stack_proxies(proxies, bits, arch, container_bits={3: 4})
+    toks = jnp.arange(8, dtype=jnp.int32)[None]
+    a, _ = forward_stacked(native, cfg, toks)
+    b, _ = forward_stacked(nibble, cfg, toks)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
