@@ -69,6 +69,12 @@ def main(argv=None):
     model = stack_proxies(
         proxies, bits_range, arch,
         container_bits=None if args.native_pack else SERVE_CONTAINERS)
+    if model.uniform_select:
+        # compact per-container stacks: identical-width branches collapse
+        # (~1 ms/token on 7B decode) and device memory drops from all
+        # three full proxies to exactly the arch's container bits
+        from ..models.stacked import merge_containers
+        model = merge_containers(model)
     eng = Engine(model, cfg, batch_size=args.batch_size,
                  max_len=args.prompt_len + args.gen_len + 8,
                  compute_dtype=jnp.bfloat16, use_pallas=not args.no_pallas)

@@ -73,6 +73,9 @@ class StackedModel:
     #: every site shares one per-layer selector -> whole-layer switch
     uniform_select: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    #: container-merged models (merge_containers): per-layer index into
+    #: the COMPACT per-container stacks; None -> stacks are [L]-indexed
+    slots: Optional[jnp.ndarray] = None
 
 
 # fused site groups: one kernel launch for q/k/v and for gate/up (same
@@ -83,6 +86,13 @@ FUSED_GROUPS = {
                            "self_attn.v_proj"),
     "mlp.gateup_proj": ("mlp.gate_proj", "mlp.up_proj"),
 }
+
+
+def _pick_lane_pad(n_total: int) -> int:
+    """Zero-pad the lane count to the largest decode n-tile whose pad
+    stays bounded (pad bytes are streamed: <=1/10 for the 2048 tile)."""
+    pad = -n_total % 2048
+    return pad if pad <= n_total // 10 else 0
 
 
 def _arch_fusable(arch: Optional[Dict], L: int) -> bool:
@@ -146,12 +156,12 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
             n_total = sum(q.shape[0] for q in per_layer[0])
             # round the lane (out-feature) count up to the decode-GEMV
             # n-tile when the pad is bounded: fused gate|up at 7B is
-            # 22016 lanes -> 22528 (11 x 2048 tiles instead of 43 x 512;
-            # per-grid-step overhead dominates the GEMV, bisect6.py).
-            # Pad columns are zero -> sliced off by the kernel wrappers.
-            n_pad = -n_total % 2048
-            if n_pad > n_total // 10:
-                n_pad = 0
+            # 22016 lanes -> 22528 (11 x 2048 tiles; per-grid-step cost
+            # dominates the GEMV).  4096 tiles win on an isolated chain
+            # but LOSE in-model (the 8 MB codes operand starves the
+            # attention/cache pipeline — bisect9 vs bench).  Pad columns
+            # are zero -> sliced off by the kernel wrappers.
+            n_pad = _pick_lane_pad(n_total)
             pad3 = ((0, 0), (0, 0), (0, n_pad))
             stacks.append(StackedQuant(
                 packed=jnp.pad(jnp.stack([jnp.concatenate(
@@ -197,8 +207,72 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
         uniform_select=(arch is not None and _selectors_uniform(select)))
 
 
+def merge_containers(model: StackedModel) -> StackedModel:
+    """Collapse per-bit stacks of EQUAL container width into one branch.
+
+    With ``SERVE_CONTAINERS`` the 3-bit and 4-bit stacks are both
+    nibble-packed, yet as separate ``lax.switch`` branches they cost ~1
+    ms/token on Llama-2-7B decode (mixed 2/3/4 ran 8.36 ms vs 6.57 for a
+    2-branch 2/4 mix and 7.83 for a 2-branch 3/4 mix — branch
+    heterogeneity, not the cond itself, breaks cross-layer pipelining).
+    This builds ONE compact stack per distinct width holding exactly the
+    layers assigned to it (HBM = exactly the arch's container bits) plus
+    a per-layer ``slots`` vector mapping the layer index into its
+    compact stack.  Requires a layer-uniform arch; the result is
+    arch-specific (``set_arch`` on it raises — rebuild instead).
+    """
+    assert model.uniform_select, "container merge needs a layer-uniform arch"
+    first = next(iter(model.select))
+    sel = np.asarray(model.select[first])                    # [L] bit idx
+    widths = [model.sites[first][b].nbits for b in range(len(model.bits_range))]
+    containers = sorted(set(widths))
+    cont_of_bit = {b: containers.index(w) for b, w in enumerate(widths)}
+
+    layer_cont = np.array([cont_of_bit[int(b)] for b in sel])
+    # drop containers no layer uses
+    used = [c for c in range(len(containers)) if (layer_cont == c).any()]
+    remap = {c: j for j, c in enumerate(used)}
+    layer_cont = np.array([remap[int(c)] for c in layer_cont])
+    slots = np.zeros(model.num_layers, np.int32)
+    members: List[List[int]] = [[] for _ in used]
+    for i in range(model.num_layers):
+        c = int(layer_cont[i])
+        slots[i] = len(members[c])
+        members[c].append(i)
+
+    def gather(arr_by_bit, c):
+        # compact [Lc, ...] stack: layer i's slice taken from the stack
+        # of its arch-selected bit (same width within a container)
+        return jnp.stack([arr_by_bit[int(sel[i])][i] for i in members[c]])
+
+    sites: Dict[str, Tuple[StackedQuant, ...]] = {}
+    for name, stacks in model.sites.items():
+        merged = []
+        for c in range(len(used)):
+            s0 = stacks[[b for b in range(len(stacks))
+                         if remap.get(cont_of_bit[b]) == c][0]]
+            merged.append(StackedQuant(
+                packed=gather([s.packed for s in stacks], c),
+                scale=gather([s.scale for s in stacks], c),
+                zero=gather([s.zero for s in stacks], c),
+                nbits=s0.nbits, group_size=s0.group_size,
+                shape=s0.shape, superblock=s0.superblock))
+        sites[name] = tuple(merged)
+
+    select = {name: jnp.asarray(layer_cont, jnp.int32)
+              for name in model.select}
+    return dataclasses.replace(
+        model, sites=sites, select=select,
+        bits_range=tuple(containers[c] for c in used),
+        slots=jnp.asarray(slots), uniform_select=True)
+
+
 def set_arch(model: StackedModel, arch: Dict) -> StackedModel:
     """New selector vectors for ``arch`` — same treedef, no retrace."""
+    if model.slots is not None:
+        raise AssertionError(
+            "container-merged model is arch-specific; rebuild via "
+            "stack_proxies + merge_containers")
     fused = "self_attn.qkv_proj" in model.sites
     if fused:
         assert _arch_fusable(arch, model.num_layers), (
@@ -255,6 +329,7 @@ def _apply_down_swiglu(model: StackedModel, i, gate, up, compute_dtype,
     per layer); falls back to elementwise-then-matmul otherwise."""
     impl = linear_mod._KERNEL_IMPL
     name = "mlp.down_proj"
+    si = _stack_index(model, i)
 
     def stack_branch(stack: StackedQuant):
         def br(operand):
@@ -265,7 +340,7 @@ def _apply_down_swiglu(model: StackedModel, i, gate, up, compute_dtype,
                 g2 = g.reshape(-1, g.shape[-1])
                 u2 = u.reshape(-1, u.shape[-1])
                 out = quant_matmul_swiglu_indexed(
-                    g2, u2, stack.packed, stack.scale, stack.zero, i,
+                    g2, u2, stack.packed, stack.scale, stack.zero, si,
                     nbits=stack.nbits, group_size=stack.group_size,
                     shape=stack.shape, superblock=stack.superblock,
                     acc_dtype=(jnp.bfloat16 if g.dtype == jnp.bfloat16
@@ -274,7 +349,7 @@ def _apply_down_swiglu(model: StackedModel, i, gate, up, compute_dtype,
                 return out.reshape(*lead, stack.shape[0])
             act = (jax.nn.silu(g.astype(jnp.float32)).astype(compute_dtype)
                    * u)
-            return _apply_stack(stack, i, act, compute_dtype)
+            return _apply_stack(stack, si, act, compute_dtype)
         return br
 
     if bit_idx is not None:
@@ -289,6 +364,14 @@ def _apply_down_swiglu(model: StackedModel, i, gate, up, compute_dtype,
     return y
 
 
+def _stack_index(model: StackedModel, i):
+    """Index of layer ``i`` inside the per-bit stacks: the layer number,
+    or its compact-container slot for merged models (merge_containers)."""
+    if model.slots is None:
+        return i
+    return jax.lax.dynamic_index_in_dim(model.slots, i, 0, False)
+
+
 def _apply_site(model: StackedModel, name: str, i, x, compute_dtype,
                 bit_idx: Optional[int] = None):
     """One linear site of layer ``i``.
@@ -297,12 +380,13 @@ def _apply_site(model: StackedModel, name: str, i, x, compute_dtype,
     bit decision, e.g. a per-layer switch); otherwise a lax.switch over
     the per-bit stacks — only the chosen branch reads HBM.
     """
+    si = _stack_index(model, i)
     if bit_idx is not None:
-        y = _apply_stack(model.sites[name][bit_idx], i, x, compute_dtype)
+        y = _apply_stack(model.sites[name][bit_idx], si, x, compute_dtype)
     else:
         y = jax.lax.switch(
             model.select[name][i],
-            [(lambda s: lambda x: _apply_stack(s, i, x, compute_dtype))(s)
+            [(lambda s: lambda x: _apply_stack(s, si, x, compute_dtype))(s)
              for s in model.sites[name]], x)
     if model.biases[name] is not None:
         y = y + jax.lax.dynamic_index_in_dim(

@@ -324,6 +324,10 @@ def _quant_matmul_packed(
 
     bm = block_m or (M if M <= 8 else _pick_tile(M, (256, 128, 64, 32, 16, 8)))
     # decode GEMV: per-grid-step overhead dominates, prefer big n tiles
+    # decode GEMV: bn=2048 with sb=1024.  bn=4096 wins on an isolated
+    # o_proj chain (664 GB/s vs 534, scripts/bisect9.py) but LOSES inside
+    # the full layer (122 -> 119 tok/s; the 8 MB codes operand starves the
+    # attention/cache pipeline) — in-model wins are what count.
     n_cands = (2048, 1024, 512, 256, 128) if M <= 8 else (1024, 512, 256, 128)
     bn = block_n or _pick_tile(Np, n_cands)
     # the K tile must equal the planar packing block
@@ -462,6 +466,10 @@ def quant_matmul_indexed(
     out_dtype = out_dtype or x.dtype
     g = group_size
     bk = superblock
+    # decode GEMV: bn=2048 with sb=1024.  bn=4096 wins on an isolated
+    # o_proj chain (664 GB/s vs 534, scripts/bisect9.py) but LOSES inside
+    # the full layer (122 -> 119 tok/s; the 8 MB codes operand starves the
+    # attention/cache pipeline) — in-model wins are what count.
     n_cands = (2048, 1024, 512, 256, 128) if M <= 8 else (1024, 512, 256, 128)
     bn = block_n or _pick_tile(Np, n_cands)
     T = bk // g
@@ -598,6 +606,10 @@ def quant_matmul_swiglu_indexed(
     out_dtype = out_dtype or gate.dtype
     g = group_size
     bk = superblock
+    # decode GEMV: bn=2048 with sb=1024.  bn=4096 wins on an isolated
+    # o_proj chain (664 GB/s vs 534, scripts/bisect9.py) but LOSES inside
+    # the full layer (122 -> 119 tok/s; the 8 MB codes operand starves the
+    # attention/cache pipeline) — in-model wins are what count.
     n_cands = (2048, 1024, 512, 256, 128) if M <= 8 else (1024, 512, 256, 128)
     bn = block_n or _pick_tile(Np, n_cands)
     T = bk // g

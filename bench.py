@@ -74,11 +74,9 @@ def _bench_sites(cfg):
 def _padded_site(N, K):
     """Tile-friendly padded (Np, Kp): K to whole superblocks, N to the
     decode n-tile (mirrors core.quantize + stacked.stack_proxies)."""
+    from amq_tpu.models.stacked import _pick_lane_pad
     _, k_pad = pick_superblock_padded(K, GROUP)
-    n_pad = -N % 2048
-    if n_pad > N // 10:
-        n_pad = 0
-    return N + n_pad, K + k_pad
+    return N + _pick_lane_pad(N), K + k_pad
 
 
 def random_stacked_model(cfg, rng) -> StackedModel:
@@ -130,13 +128,20 @@ def random_stacked_model(cfg, rng) -> StackedModel:
         select[name] = jnp.asarray(
             [i % len(BITS_RANGE) for i in range(L)], jnp.int32)
 
-    return StackedModel(
+    model = StackedModel(
         embed=arrs["embed"], final_norm=jnp.ones((H,), jnp.bfloat16),
         lm_head=arrs["head"],
         input_norm=jnp.ones((L, H), jnp.bfloat16),
         post_norm=jnp.ones((L, H), jnp.bfloat16),
         sites=sites, biases=biases, select=select,
         bits_range=BITS_RANGE, num_layers=L, uniform_select=True)
+    if len(set(CONTAINER.values())) < len(BITS_RANGE):
+        # same-width stacks (3-bit in nibble containers + native 4-bit)
+        # collapse into one switch branch — separate identical-width
+        # branches cost ~1 ms/token in cross-layer pipelining
+        from amq_tpu.models.stacked import merge_containers
+        model = merge_containers(model)
+    return model
 
 
 def weight_bytes_per_token(cfg) -> float:

@@ -1,0 +1,78 @@
+"""Speculative decoding on the real chip: acceptance rate + speedup.
+
+Target = uniform 4-bit HQQ quantization of a random Qwen2-0.5B; draft =
+2-bit quantization of the SAME weights (the design's draft story: the
+search's own 2-bit proxy shares weights and tokenizer by construction —
+serving/speculative.py:16-18).  Quantizing the same underlying weights
+gives a meaningful argmax-chain overlap even with random init.
+
+Prints plain-decode tok/s, speculative tok/s, acceptance rate, for
+gamma in {2, 4}.
+"""
+import os, sys, time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from amq_tpu.models import get_config, init_params, quantize_model
+from amq_tpu.models.stacked import stack_proxies, SERVE_CONTAINERS
+from amq_tpu.serving import Engine
+from amq_tpu.serving.speculative import SpeculativeEngine
+
+MODEL = os.environ.get("SPEC_MODEL", "Qwen2-0.5B")
+GEN = int(os.environ.get("SPEC_GEN", "128"))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    log(f"devices: {jax.devices()}  model={MODEL}")
+    cfg = get_config(MODEL)
+    t0 = time.time()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    proxies = {b: quantize_model(params, cfg, b) for b in (2, 4)}
+    jax.block_until_ready(proxies[4]["embed"])
+    log(f"quantized 2/4-bit proxies in {time.time()-t0:.0f}s")
+
+    target = stack_proxies([proxies[4]], (4,),
+                           container_bits=SERVE_CONTAINERS)
+    draft = stack_proxies([proxies[2]], (2,),
+                          container_bits=SERVE_CONTAINERS)
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, (1, 32)).astype(np.int32)
+
+    eng = Engine(target, cfg, batch_size=1, max_len=512,
+                 compute_dtype=jnp.bfloat16, use_pallas=True)
+    # plain decode baseline
+    toks = eng.generate(prompt, max_new_tokens=GEN)     # compile
+    t0 = time.time()
+    toks = eng.generate(prompt, max_new_tokens=GEN)
+    plain_dt = time.time() - t0
+    log(f"plain decode: {GEN/plain_dt:.1f} tok/s")
+
+    for gamma in (2, 4):
+        spec = SpeculativeEngine(eng, draft, gamma=gamma)
+        out, stats = spec.generate(prompt, max_new_tokens=GEN)  # compile
+        t0 = time.time()
+        out, stats = spec.generate(prompt, max_new_tokens=GEN)
+        dt = time.time() - t0
+        match = (np.asarray(out[0, :GEN]) == np.asarray(toks[0, :GEN])).mean()
+        log(f"gamma={gamma}: {GEN/dt:.1f} tok/s "
+            f"({plain_dt/dt:.2f}x), acceptance {stats.acceptance_rate:.2f} "
+            f"({stats.accepted}/{stats.rounds} over {stats.tokens} tokens), "
+            f"greedy-match vs plain {match:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,3 +58,33 @@ def test_set_arch_on_fused_asserts_on_mixed_groups():
     bad["linear"]["mlp.up_proj"] = [4] * cfg.num_layers
     with pytest.raises(AssertionError):
         stacked.set_arch(model, bad)
+
+
+def test_merge_containers_matches_unmerged():
+    """Container-merged model (3-bit in nibble containers collapsed into
+    the 4-bit branch, compact slot-indexed stacks) must produce identical
+    logits to the unmerged switch model."""
+    import jax
+    import numpy as np
+    from amq_tpu.models import get_config, init_params, quantize_model
+    from amq_tpu.models.stacked import (SERVE_CONTAINERS, forward_stacked,
+                                        merge_containers, stack_proxies)
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    bits = (2, 3, 4)
+    proxies = [quantize_model(params, cfg, b) for b in bits]
+    arch = {"linear": {n: [bits[i % 3] for i in range(cfg.num_layers)]
+                       for n in cfg.topology()["linear"]}}
+    base = stack_proxies(proxies, bits, arch,
+                         container_bits=SERVE_CONTAINERS)
+    merged = merge_containers(base)
+    assert merged.bits_range == (2, 4)
+    assert merged.sites["self_attn.qkv_proj"][1].packed.shape[0] == \
+        sum(1 for i in range(cfg.num_layers) if bits[i % 3] in (3, 4))
+
+    toks = jnp.arange(8, dtype=jnp.int32)[None]
+    a, _ = forward_stacked(base, cfg, toks)
+    b, _ = forward_stacked(merged, cfg, toks)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
