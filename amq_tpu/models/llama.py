@@ -123,6 +123,82 @@ def _attention(q, k, v, mask, compute_dtype):
     return out.reshape(B, S, Hq, hd).astype(compute_dtype)
 
 
+def _attention_split(q, k_c, v_c, k_new, v_new, offset,
+                     sliding_window, compute_dtype):
+    """Incremental attention WITHOUT materializing the updated cache.
+
+    q: [B,S,Hq,hd]; k_c/v_c: [B,Hkv,T,hd] cache buffers (positions
+    ``< offset`` valid); k_new/v_new: [B,Hkv,S,hd] this step's keys.
+    ``offset`` is a scalar, or per-row ``[B]`` (slot-batched decode).
+
+    Scores over the cache and over the new keys are computed separately
+    and softmaxed jointly — identical math to dynamic-update-slice-then-
+    attend, but the [B,Hkv,T,hd] buffer round trip (slice out, update,
+    write back: ~3x the attention's own HBM traffic per layer at decode)
+    never happens; callers append the new KV once, outside the layer scan.
+    """
+    B, S, Hq, hd = q.shape
+    Hkv = k_c.shape[1]
+    G = Hq // Hkv
+    T = k_c.shape[2]
+    qg = q.reshape(B, S, Hkv, G, hd)
+    if jax.default_backend() == "cpu":
+        qg, k_c, v_c, k_new, v_new = (
+            t.astype(jnp.float32) for t in (qg, k_c, v_c, k_new, v_new))
+    sc = jnp.einsum("bskgd,bktd->bkgst", qg, k_c,
+                    preferred_element_type=jnp.float32)
+    sn = jnp.einsum("bskgd,bkud->bkgsu", qg, k_new.astype(qg.dtype),
+                    preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(jnp.float32(hd))
+
+    off = jnp.asarray(offset, jnp.int32).reshape(-1)              # [1] or [B]
+    s_ids = jnp.arange(S, dtype=jnp.int32)
+    k_pos = jnp.arange(T, dtype=jnp.int32)
+    q_pos = off[:, None] + s_ids[None, :]                         # [b, S]
+    ok_c = k_pos[None, None, :] < off[:, None, None]              # [b, 1, T]
+    ok_n = (s_ids[None, None, :] <= s_ids[None, :, None])         # [1, S, S]
+    if sliding_window is not None:
+        ok_c = jnp.logical_and(
+            ok_c, k_pos[None, None, :] > q_pos[:, :, None] - sliding_window)
+        ok_n = jnp.logical_and(
+            ok_n, (off[:, None, None] + s_ids[None, None, :])
+            > q_pos[:, :, None] - sliding_window)
+    neg = jnp.float32(-1e30)
+    mask_c = jnp.where(ok_c, 0.0, neg)[:, None, None]     # [b,1,1,S|1,T]
+    mask_n = jnp.where(ok_n, 0.0, neg)[:, None, None]
+    scores = jnp.concatenate(
+        [sc * inv + mask_c, sn * inv + mask_n], axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1).astype(k_c.dtype)
+    out = (jnp.einsum("bkgst,bktd->bskgd", probs[..., :T], v_c,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bkgsu,bkud->bskgd", probs[..., T:],
+                        v_new.astype(v_c.dtype),
+                        preferred_element_type=jnp.float32))
+    return out.reshape(B, S, Hq, hd).astype(compute_dtype)
+
+
+def attention_append(q, k_c, v_c, k_new, v_new, offset, S: int, T: int,
+                     cfg: ModelConfig, compute_dtype):
+    """Cache attention against (cache, appended keys) — see _attention_split.
+
+    The flash-kernel regime (long prefill) materializes the updated buffer
+    locally (its cost amortizes over S tokens) and runs the blockwise
+    kernel; everywhere else the split path avoids the buffer round trip.
+    """
+    if _flash_ok(S, T, cfg):
+        k_buf = jax.lax.dynamic_update_slice_in_dim(
+            k_c, k_new.astype(k_c.dtype), offset, axis=2)
+        v_buf = jax.lax.dynamic_update_slice_in_dim(
+            v_c, v_new.astype(v_c.dtype), offset, axis=2)
+        from ..ops.flash_attention import flash_attention
+        qt = jnp.transpose(q, (0, 2, 1, 3))          # [B,Hq,S,d]
+        out = flash_attention(qt, k_buf.astype(compute_dtype),
+                              v_buf.astype(compute_dtype), offset)
+        return jnp.transpose(out, (0, 2, 1, 3)).astype(compute_dtype)
+    return _attention_split(q, k_c, v_c, k_new, v_new, offset,
+                            cfg.sliding_window, compute_dtype)
+
+
 def _flash_ok(S: int, T: int, cfg: ModelConfig) -> bool:
     """Use the blockwise Pallas attention? (trace-time decision)
 

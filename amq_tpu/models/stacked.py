@@ -421,7 +421,10 @@ def scan_layers(
 
     Factored out of :func:`forward_stacked` so pipeline parallelism can
     run a stage-local chunk of layers on an already-embedded activation
-    (parallel/pp.py).  Returns ``(x, (k_all, v_all) or None)``.
+    (parallel/pp.py).  Returns ``(x, (k_app, v_app) or None)`` where
+    k_app/v_app are the APPENDED keys/values ``[L, B, kv, S, hd]`` in the
+    cache dtype — the caller writes them into the cache once, outside the
+    layer scan (forward_stacked / pp.py).
     """
     B, S, _ = x.shape
     hd = cfg.head_dim_
@@ -433,17 +436,21 @@ def scan_layers(
         T = S
     positions = jnp.arange(S, dtype=jnp.int32)[None, :] + offset
     cos, sin = llama.rope_cos_sin(cfg, positions, dtype=compute_dtype)
-    mask = llama._causal_mask(S, T, offset, cfg.sliding_window)
+    mask = None if cache_kv is not None else llama._causal_mask(
+        S, T, offset, cfg.sliding_window)
 
     fused = "self_attn.qkv_proj" in model.sites
     has_cache = cache_kv is not None
     uniform = layer_uniform(model)
     first_site = next(iter(model.select))
 
-    # the KV cache rides the scan as xs/ys (per-layer slices in, updated
-    # slices out) — carrying the whole [L, ...] buffers and dynamic-updating
-    # one layer per step makes XLA copy the full cache every layer
-    def layer_body(i, x, k_buf, v_buf, bit_idx):
+    # the KV cache is READ-ONLY inside the layer scan: attention runs
+    # against (cache slice, this step's keys) via the split path — round-
+    # tripping per-layer [B,kv,T,hd] buffers through scan xs/ys (slice out,
+    # dynamic-update, write back) was measured at ~37 us/layer of pure
+    # copy traffic on the decode step (scripts/profile_decode.py), ~1.2
+    # ms/token at 7B; the new KV comes out as ys [L,B,kv,S,hd] instead
+    def layer_body(i, x, bit_idx):
         h = llama.rms_norm(
             x, jax.lax.dynamic_index_in_dim(model.input_norm, i, 0, False),
             cfg.rms_norm_eps)
@@ -466,16 +473,13 @@ def scan_layers(
         v = jnp.transpose(v.reshape(B, S, cfg.num_kv_heads, hd), (0, 2, 1, 3))
 
         if has_cache:
-            k_buf = jax.lax.dynamic_update_slice_in_dim(
-                k_buf, k.astype(k_buf.dtype), offset, axis=2)
-            v_buf = jax.lax.dynamic_update_slice_in_dim(
-                v_buf, v.astype(v_buf.dtype), offset, axis=2)
-            k_att = k_buf.astype(compute_dtype)
-            v_att = v_buf.astype(compute_dtype)
+            k_c = jax.lax.dynamic_index_in_dim(cache_kv[0], i, 0, False)
+            v_c = jax.lax.dynamic_index_in_dim(cache_kv[1], i, 0, False)
+            att = llama.attention_append(q, k_c, v_c, k, v, offset, S, T,
+                                         cfg, compute_dtype)
         else:
-            k_att, v_att = k, v
-        att = llama.attention(q, k_att, v_att, mask, offset, S,
-                              k_att.shape[2], cfg, compute_dtype)
+            att = llama.attention(q, k, v, mask, offset, S, S, cfg,
+                                  compute_dtype)
         att = att.reshape(B, S, cfg.num_heads * hd)
         o = _apply_site(model, "self_attn.o_proj", i, att, compute_dtype,
                         bit_idx)
@@ -500,34 +504,27 @@ def scan_layers(
         if tp_axis is not None:
             down = jax.lax.psum(down, tp_axis)
         x = x + down
-        return x, k_buf, v_buf
-
-    def layer_fn(x, xs):
         if has_cache:
-            i, k_buf, v_buf = xs
-        else:
-            i = xs
-            k_buf = v_buf = None
+            cd = cache_kv[0].dtype
+            return x, k.astype(cd), v.astype(cd)
+        return x, None, None
+
+    def layer_fn(x, i):
         if uniform:
             # one switch wraps the whole layer (cond overhead is per
             # occurrence inside the scan; per-site switching costs 4x)
-            x, k_buf, v_buf = jax.lax.switch(
+            x, k_app, v_app = jax.lax.switch(
                 model.select[first_site][i],
-                [(lambda b: lambda op: layer_body(op[0], op[1], op[2],
-                                                  op[3], b))(b)
+                [(lambda b: lambda op: layer_body(op[0], op[1], b))(b)
                  for b in range(len(model.bits_range))],
-                (i, x, k_buf, v_buf))
+                (i, x))
         else:
-            x, k_buf, v_buf = layer_body(i, x, k_buf, v_buf, None)
-        return x, ((k_buf, v_buf) if has_cache else None)
+            x, k_app, v_app = layer_body(i, x, None)
+        return x, ((k_app, v_app) if has_cache else None)
 
     layer_idx = jnp.arange(model.num_layers, dtype=jnp.int32)
-    if has_cache:
-        x, kv_all = jax.lax.scan(
-            layer_fn, x, (layer_idx, cache_kv[0], cache_kv[1]))
-    else:
-        x, kv_all = jax.lax.scan(layer_fn, x, layer_idx)
-    return x, kv_all
+    x, kv_app = jax.lax.scan(layer_fn, x, layer_idx)
+    return x, kv_app
 
 
 def forward_stacked(
@@ -542,7 +539,7 @@ def forward_stacked(
     B, S = tokens.shape
     x = model.embed[tokens].astype(compute_dtype)
     offset = cache.length if cache is not None else jnp.int32(0)
-    x, kv_all = scan_layers(
+    x, kv_app = scan_layers(
         model, cfg, x,
         cache_kv=(cache.k, cache.v) if cache is not None else None,
         offset=offset, compute_dtype=compute_dtype, tp_axis=tp_axis)
@@ -554,6 +551,11 @@ def forward_stacked(
 
     new_cache = None
     if cache is not None:
-        new_cache = llama.KVCache(k=kv_all[0], v=kv_all[1],
-                                  length=cache.length + S)
+        # ONE append of this step's [L,B,kv,S,hd] keys — inside the decode
+        # steps-scan the cache is a loop carry, so XLA updates it in place
+        k = jax.lax.dynamic_update_slice_in_dim(
+            cache.k, kv_app[0], offset, axis=3)
+        v = jax.lax.dynamic_update_slice_in_dim(
+            cache.v, kv_app[1], offset, axis=3)
+        new_cache = llama.KVCache(k=k, v=v, length=cache.length + S)
     return logits.astype(jnp.float32), new_cache

@@ -135,13 +135,18 @@ def make_pp_step(cfg: ModelConfig, mesh: Mesh, model: StackedModel,
             b0 = idx * Bm
             kc = jax.lax.dynamic_slice_in_dim(k_all, b0, Bm, axis=1)
             vc = jax.lax.dynamic_slice_in_dim(v_all, b0, Bm, axis=1)
-            x_out, (k_new, v_new) = scan_layers(
+            x_out, (k_app, v_app) = scan_layers(
                 m_local, cfg, x_cur, cache_kv=(kc, vc),
                 offset=offset, compute_dtype=compute_dtype)
-            k_all = jax.lax.dynamic_update_slice_in_dim(
-                k_all, jnp.where(active, k_new, kc), b0, axis=1)
-            v_all = jax.lax.dynamic_update_slice_in_dim(
-                v_all, jnp.where(active, v_new, vc), b0, axis=1)
+            # scan_layers returns only the APPENDED keys [L,Bm,kv,S,hd];
+            # write just those positions back, masked when the stage idles
+            start = (0, b0, 0, offset, 0)
+            k_old = jax.lax.dynamic_slice(k_all, start, k_app.shape)
+            v_old = jax.lax.dynamic_slice(v_all, start, v_app.shape)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, jnp.where(active, k_app, k_old), start)
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, jnp.where(active, v_app, v_old), start)
 
             # last stage: head on the final position, record microbatch mb
             h = llama.rms_norm(x_out[:, -1], m.final_norm, cfg.rms_norm_eps)

@@ -97,29 +97,18 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
                  impl=None):
     """One decode token for every active slot.  Returns (next [B], cache)."""
     B = tokens.shape[0]
-    T = cache.k.shape[3]
     hd = cfg.head_dim_
 
     x = model.embed[tokens][:, None, :].astype(compute_dtype)  # [B, 1, H]
     positions = cache.lengths[:, None]                          # [B, 1]
     cos, sin = llama.rope_cos_sin(cfg, positions, dtype=compute_dtype)
 
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
-    ok = k_pos <= positions                                     # [B, T]
-    mask = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
-
     fused = "self_attn.qkv_proj" in model.sites
-
-    def write(buf, new, pos):
-        # buf [B, kv, T, hd]; new [B, kv, 1, hd]; pos [B]
-        return jax.vmap(
-            lambda b, n, p: jax.lax.dynamic_update_slice_in_dim(b, n, p, 1)
-        )(buf, new, pos)
 
     uniform = model.uniform_select
     first_site = next(iter(model.select))
 
-    def layer_body(i, x, k_buf, v_buf, bit_idx):
+    def layer_body(i, x, bit_idx):
         h = llama.rms_norm(
             x, jax.lax.dynamic_index_in_dim(model.input_norm, i, 0, False),
             cfg.rms_norm_eps)
@@ -142,12 +131,13 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
         vv = jnp.transpose(vv.reshape(B, 1, cfg.num_kv_heads, hd),
                            (0, 2, 1, 3))
 
-        k_buf = write(k_buf, kk.astype(k_buf.dtype), cache.lengths)
-        v_buf = write(v_buf, vv.astype(v_buf.dtype), cache.lengths)
-
-        att = llama._attention(q, k_buf.astype(compute_dtype),
-                               v_buf.astype(compute_dtype), mask,
-                               compute_dtype)
+        # cache buffers are read-only inside the layer scan; the split
+        # attention takes per-slot offsets (lengths) and this step's
+        # keys directly — no per-layer buffer round trip
+        k_c = jax.lax.dynamic_index_in_dim(cache.k, i, 0, False)
+        v_c = jax.lax.dynamic_index_in_dim(cache.v, i, 0, False)
+        att = llama._attention_split(q, k_c, v_c, kk, vv, cache.lengths,
+                                     cfg.sliding_window, compute_dtype)
         att = att.reshape(B, 1, cfg.num_heads * hd)
         o = _apply_site(model, "self_attn.o_proj", i, att, compute_dtype,
                         bit_idx)
@@ -168,28 +158,34 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
                              bit_idx)
         down = _apply_down_swiglu(model, i, gate, up, compute_dtype, bit_idx)
         x = x + down
-        return x, k_buf, v_buf
+        return x, kk.astype(cache.k.dtype), vv.astype(cache.v.dtype)
 
-    def layer_fn(x, xs):
-        i, k_buf, v_buf = xs
+    def layer_fn(x, i):
         if uniform:
             # one whole-layer switch instead of 4 per-site switches (conds
             # cost ~10s of us each inside the decode scan on this backend)
-            x, k_buf, v_buf = jax.lax.switch(
+            x, kk, vv = jax.lax.switch(
                 model.select[first_site][i],
-                [(lambda b: lambda op: layer_body(op[0], op[1], op[2],
-                                                  op[3], b))(b)
+                [(lambda b: lambda op: layer_body(op[0], op[1], b))(b)
                  for b in range(len(model.bits_range))],
-                (i, x, k_buf, v_buf))
+                (i, x))
         else:
-            x, k_buf, v_buf = layer_body(i, x, k_buf, v_buf, None)
-        return x, (k_buf, v_buf)
+            x, kk, vv = layer_body(i, x, None)
+        return x, (kk, vv)
 
     with kernel_linears(impl):
-        x, (k_all, v_all) = jax.lax.scan(
-            layer_fn, x,
-            (jnp.arange(model.num_layers, dtype=jnp.int32),
-             cache.k, cache.v))
+        x, (k_app, v_app) = jax.lax.scan(
+            layer_fn, x, jnp.arange(model.num_layers, dtype=jnp.int32))
+
+    # ONE per-slot append of the new keys [L,B,kv,1,hd] at each slot's
+    # own position (vmapped over slots)
+    def write_all(buf, new, pos):
+        return jax.vmap(
+            lambda b, n, p: jax.lax.dynamic_update_slice(b, n, (0, 0, p, 0)),
+            in_axes=(1, 1, 0), out_axes=1)(buf, new, pos)
+
+    k_all = write_all(cache.k, k_app, cache.lengths)
+    v_all = write_all(cache.v, v_app, cache.lengths)
 
     x = llama.rms_norm(x, model.final_norm, cfg.rms_norm_eps)
     head = model.lm_head if model.lm_head is not None else model.embed
