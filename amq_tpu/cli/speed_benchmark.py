@@ -32,6 +32,10 @@ def main(argv=None):
                    help="capacity-optimal native bit packing (default "
                         "serves 3-bit codes via the faster 4-bit "
                         "container path, +1/3 streamed bytes)")
+    p.add_argument("--head_bits", type=int, default=8,
+                   help="lm_head serving width (packed, group 128); "
+                        "0 keeps the dense bf16 head (the reference's "
+                        "fp16-head configuration)")
     p.add_argument("--save_path", type=str, default="speed_out")
     # serving benchmark batch matches the reference default (batch 1,
     # amq_speed_benchmark.py:107-109); the shared default of 8 is for the
@@ -68,7 +72,8 @@ def main(argv=None):
 
     model = stack_proxies(
         proxies, bits_range, arch,
-        container_bits=None if args.native_pack else SERVE_CONTAINERS)
+        container_bits=None if args.native_pack else SERVE_CONTAINERS,
+        head_bits=args.head_bits or None)
     if model.uniform_select:
         # compact per-container stacks: identical-width branches collapse
         # (~1 ms/token on 7B decode) and device memory drops from all

@@ -76,6 +76,11 @@ class StackedModel:
     #: container-merged models (merge_containers): per-layer index into
     #: the COMPACT per-container stacks; None -> stacks are [L]-indexed
     slots: Optional[jnp.ndarray] = None
+    #: quantized lm_head (stack_proxies(head_bits=...)): at decode the
+    #: bf16 head is ~0.35 ms/token of pure weight stream on Llama-2-7B
+    #: (scripts/profile_decode.py); an 8-bit packed head halves it.  When
+    #: set it replaces lm_head/embed in the logits matmul.
+    lm_head_qt: Optional[QuantizedTensor] = None
 
 
 # fused site groups: one kernel launch for q/k/v and for gate/up (same
@@ -105,6 +110,45 @@ def _arch_fusable(arch: Optional[Dict], L: int) -> bool:
     return True
 
 
+def quantize_head(head_w: jnp.ndarray, nbits: int = 8,
+                  group_size: int = 128, meta_dtype=jnp.bfloat16,
+                  lane_tile: int = 2048):
+    """Quantize an ``[vocab, H]`` lm_head for packed serving.
+
+    The vocab (lane) dim is zero-padded to the decode-GEMV n-tile so the
+    kernel runs few large grid steps (32000 -> 32768 = 16 x 2048); pad
+    lanes dequantize to 0 and are sliced off by the kernel wrapper
+    (``shape`` stays the logical vocab).
+    """
+    from ..core.quantize import quantize
+    V, H = head_w.shape
+    pad = -V % lane_tile
+    Wp = jnp.pad(head_w.astype(jnp.float32), ((0, pad), (0, 0)))
+    qt = quantize(Wp, nbits=nbits, group_size=group_size,
+                  meta_dtype=meta_dtype)
+    return dataclasses.replace(qt, shape=(V, H))
+
+
+def apply_head(model: StackedModel, x: jnp.ndarray, compute_dtype):
+    """Logits matmul: packed head when quantized, bf16 dot otherwise.
+
+    x: [..., H] -> [..., vocab] float32.
+    """
+    if model.lm_head_qt is not None:
+        from ..ops.quant_matmul import quant_matmul, quant_matmul_reference
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if linear_mod._KERNEL_IMPL is not None:
+            out = quant_matmul(x2, model.lm_head_qt, out_dtype=jnp.float32)
+        else:
+            out = quant_matmul_reference(x2, model.lm_head_qt,
+                                         out_dtype=jnp.float32)
+        return out.reshape(*lead, model.lm_head_qt.out_features)
+    head = model.lm_head if model.lm_head is not None else model.embed
+    return jnp.dot(x, head.T.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+
+
 #: serving default: 3-bit codes ride the 4-bit kernel path (the decode
 #: GEMV is VPU-extraction-bound; nibble extraction is ~2x faster than the
 #: 2+1-plane recombination at +1/3 streamed bytes — core.quantize
@@ -116,7 +160,9 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
                   bits_range: Sequence[int],
                   arch: Optional[Dict] = None,
                   fuse: str = "auto",
-                  container_bits: Optional[Dict[int, int]] = None
+                  container_bits: Optional[Dict[int, int]] = None,
+                  head_bits: Optional[int] = None,
+                  head_meta_dtype=jnp.bfloat16,
                   ) -> StackedModel:
     """Fold per-bit quantized pytrees (quantize_model outputs) into a
     StackedModel.
@@ -128,6 +174,10 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
     ``container_bits``: logical bit-width -> packed container width (e.g.
     ``SERVE_CONTAINERS``); codes/scales are untouched, only the stream
     width changes.  Default None = native packing (eval/tests).
+
+    ``head_bits``: quantize the lm_head (or the tied embedding's logits
+    role) to this width for packed serving (see :func:`quantize_head`);
+    None keeps the dense bf16 head (the reference's fp16-head behavior).
     """
     from ..core.quantize import to_container
     container_bits = container_bits or {}
@@ -191,10 +241,17 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
         select[name] = jnp.asarray(sel, jnp.int32)
 
     head = base.get("lm_head")
+    head_qt = None
+    if head_bits is not None:
+        head_w = head.weight if head is not None else base["embed"]
+        head_qt = quantize_head(head_w, nbits=head_bits,
+                                meta_dtype=head_meta_dtype)
     return StackedModel(
         embed=base["embed"],
         final_norm=base["final_norm"],
-        lm_head=None if head is None else head.weight,
+        lm_head=(None if head is None or head_qt is not None
+                 else head.weight),
+        lm_head_qt=head_qt,
         input_norm=jnp.stack([base["layers"][i]["input_norm"]
                               for i in range(L)]),
         post_norm=jnp.stack([base["layers"][i]["post_norm"]
@@ -545,9 +602,7 @@ def forward_stacked(
         offset=offset, compute_dtype=compute_dtype, tp_axis=tp_axis)
 
     x = llama.rms_norm(x, model.final_norm, cfg.rms_norm_eps)
-    head = model.lm_head if model.lm_head is not None else model.embed
-    logits = jnp.dot(x, head.T.astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
+    logits = apply_head(model, x, compute_dtype)
 
     new_cache = None
     if cache is not None:

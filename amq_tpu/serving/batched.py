@@ -188,9 +188,8 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
     v_all = write_all(cache.v, v_app, cache.lengths)
 
     x = llama.rms_norm(x, model.final_norm, cfg.rms_norm_eps)
-    head = model.lm_head if model.lm_head is not None else model.embed
-    logits = jnp.dot(x[:, 0], head.T.astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
+    from ..models.stacked import apply_head
+    logits = apply_head(model, x[:, 0], compute_dtype)
     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     lengths = jnp.where(active, cache.lengths + 1, cache.lengths)

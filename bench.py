@@ -51,6 +51,10 @@ BITS_RANGE = tuple(int(b) for b in
 _NATIVE3 = os.environ.get("BENCH_NATIVE3", "0") == "1"
 CONTAINER = {b: (4 if b == 3 and not _NATIVE3 else b) for b in BITS_RANGE}
 GROUP = 128
+#: lm_head serving width: the bf16 head is ~0.35 ms/token of pure weight
+#: stream (scripts/profile_decode.py); 8-bit packed halves it.  "0" keeps
+#: the dense bf16 head (the reference's fp16-head configuration).
+HEAD_BITS = int(os.environ.get("BENCH_HEAD_BITS", "8"))
 PROMPT_LEN = 64          # reference default (amq_speed_benchmark.py:107-109)
 GEN_LEN = 128
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
@@ -109,8 +113,21 @@ def random_stacked_model(cfg, rng) -> StackedModel:
         key, k1, k2 = jax.random.split(key, 3)
         out["embed"] = (jax.random.normal(k1, (cfg.vocab_size, H), jnp.float32)
                         * 0.02).astype(jnp.bfloat16)
-        out["head"] = (jax.random.normal(k2, (cfg.vocab_size, H), jnp.float32)
-                       * 0.02).astype(jnp.bfloat16)
+        if HEAD_BITS:
+            Vp = cfg.vocab_size + (-cfg.vocab_size % 2048)
+            key, h1, h2, h3 = jax.random.split(key, 4)
+            out["head_packed"] = jax.random.bits(
+                h1, (H * HEAD_BITS // 32, Vp), jnp.uint32)
+            out["head_scale"] = (jax.random.uniform(
+                h2, (H // GROUP, Vp), jnp.float32) * 0.02
+            ).astype(jnp.bfloat16)
+            out["head_zero"] = (jax.random.uniform(
+                h3, (H // GROUP, Vp), jnp.float32) * (2**HEAD_BITS - 1)
+            ).astype(jnp.bfloat16)
+        else:
+            out["head"] = (jax.random.normal(
+                k2, (cfg.vocab_size, H), jnp.float32) * 0.02
+            ).astype(jnp.bfloat16)
         return out
 
     arrs = gen(jax.random.PRNGKey(0))
@@ -128,9 +145,18 @@ def random_stacked_model(cfg, rng) -> StackedModel:
         select[name] = jnp.asarray(
             [i % len(BITS_RANGE) for i in range(L)], jnp.int32)
 
+    head_qt = None
+    if HEAD_BITS:
+        from amq_tpu.core.quantize import QuantizedTensor
+        hsb, _ = pick_superblock_padded(H, GROUP)
+        head_qt = QuantizedTensor(
+            packed=arrs["head_packed"], scale=arrs["head_scale"],
+            zero=arrs["head_zero"], nbits=HEAD_BITS, group_size=GROUP,
+            shape=(cfg.vocab_size, H), superblock=hsb)
     model = StackedModel(
         embed=arrs["embed"], final_norm=jnp.ones((H,), jnp.bfloat16),
-        lm_head=arrs["head"],
+        lm_head=None if HEAD_BITS else arrs["head"],
+        lm_head_qt=head_qt,
         input_norm=jnp.ones((L, H), jnp.bfloat16),
         post_norm=jnp.ones((L, H), jnp.bfloat16),
         sites=sites, biases=biases, select=select,
@@ -153,7 +179,13 @@ def weight_bytes_per_token(cfg) -> float:
         for i in range(cfg.num_layers):
             b = CONTAINER[BITS_RANGE[i % len(BITS_RANGE)]]
             total += Kp * Np * b / 8 + (Kp // GROUP) * Np * 2 * 2  # bf16 s/z
-    total += 2 * cfg.vocab_size * cfg.hidden_size * 2  # embed + head bf16
+    if HEAD_BITS:
+        Vp = cfg.vocab_size + (-cfg.vocab_size % 2048)
+        total += (cfg.hidden_size * Vp * HEAD_BITS / 8
+                  + (cfg.hidden_size // GROUP) * Vp * 2 * 2)
+    else:
+        total += cfg.vocab_size * cfg.hidden_size * 2  # head bf16
+    total += cfg.hidden_size * 2                       # one embed row/token
     return total
 
 

@@ -84,3 +84,28 @@ def test_stacked_decode_with_cache_matches_full(setup):
     inc = jnp.concatenate(outs, axis=1)
     np.testing.assert_allclose(np.asarray(full), np.asarray(inc),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_head_matches_dense(setup):
+    """stack_proxies(head_bits=8): logits from the packed 8-bit head must
+    track the dense head closely (8-bit group quantization is ~lossless
+    relative to the logit scale) and argmax-agree on a greedy step."""
+    cfg, params, bits_range, proxies = setup
+    arch = _rand_arch(cfg, bits_range, 7)
+    dense = stacked.stack_proxies(proxies, bits_range, arch)
+    q8 = stacked.stack_proxies(proxies, bits_range, arch, head_bits=8,
+                               head_meta_dtype=jnp.float32)
+    assert q8.lm_head_qt is not None
+    # lane padding to the decode n-tile, logical vocab preserved
+    assert q8.lm_head_qt.shape[0] == cfg.vocab_size
+
+    tokens = jnp.arange(12, dtype=jnp.int32)[None] % cfg.vocab_size
+    want, _ = stacked.forward_stacked(dense, cfg, tokens,
+                                      compute_dtype=jnp.float32)
+    got, _ = stacked.forward_stacked(q8, cfg, tokens,
+                                     compute_dtype=jnp.float32)
+    scale = float(jnp.abs(want).max())
+    err = float(jnp.abs(got - want).max())
+    assert err < 0.01 * scale, (err, scale)
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(got, -1)),
+                                  np.asarray(jnp.argmax(want, -1)))
