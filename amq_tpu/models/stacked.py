@@ -20,6 +20,7 @@ per-layer module setattr, amq_speed_benchmark.py:233-251).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -500,6 +501,15 @@ def scan_layers(
     has_cache = cache_kv is not None
     uniform = layer_uniform(model)
     first_site = next(iter(model.select))
+    # decode attention kernel: flash-decode straight from the stacked
+    # cache (no [B,kv,T,hd] slice materialization; DMA clamped to the
+    # live context) — trace-time routing like the linear kernels
+    # (AMQ_ATTN_KERNEL=0 forces the XLA split path, for A/B runs)
+    use_attn_kernel = (
+        has_cache and S == 1 and hd in (64, 128)
+        and linear_mod._KERNEL_IMPL is not None
+        and jax.default_backend() != "cpu"
+        and os.environ.get("AMQ_ATTN_KERNEL", "1") != "0")
 
     # the KV cache is READ-ONLY inside the layer scan: attention runs
     # against (cache slice, this step's keys) via the split path — round-
@@ -529,7 +539,17 @@ def scan_layers(
         k = jnp.transpose(k, (0, 2, 1, 3))    # [B, Hkv, S, hd]
         v = jnp.transpose(v.reshape(B, S, cfg.num_kv_heads, hd), (0, 2, 1, 3))
 
-        if has_cache:
+        if use_attn_kernel:
+            from ..ops.decode_attention import decode_attention_indexed
+            Hkv = cfg.num_kv_heads
+            G = cfg.num_heads // Hkv
+            att = decode_attention_indexed(
+                q.reshape(B, Hkv, G, hd), cache_kv[0], cache_kv[1],
+                k.reshape(B, Hkv, hd), v.reshape(B, Hkv, hd),
+                jnp.broadcast_to(jnp.asarray(offset, jnp.int32), (B,)),
+                i, window=cfg.sliding_window,
+                out_dtype=compute_dtype).reshape(B, S, cfg.num_heads, hd)
+        elif has_cache:
             k_c = jax.lax.dynamic_index_in_dim(cache_kv[0], i, 0, False)
             v_c = jax.lax.dynamic_index_in_dim(cache_kv[1], i, 0, False)
             att = llama.attention_append(q, k_c, v_c, k, v, offset, S, T,
@@ -606,8 +626,8 @@ def forward_stacked(
 
     new_cache = None
     if cache is not None:
-        # ONE append of this step's [L,B,kv,S,hd] keys — inside the decode
-        # steps-scan the cache is a loop carry, so XLA updates it in place
+        # ONE append of this step's [L,B,kv,S,hd] keys; the cache is a
+        # loop carry in the decode steps-scan, so XLA updates in place
         k = jax.lax.dynamic_update_slice_in_dim(
             cache.k, kv_app[0], offset, axis=3)
         v = jax.lax.dynamic_update_slice_in_dim(

@@ -20,6 +20,7 @@ across hosts" BASELINE requirement's single-host core.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, List, Optional
 
@@ -104,6 +105,9 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
     cos, sin = llama.rope_cos_sin(cfg, positions, dtype=compute_dtype)
 
     fused = "self_attn.qkv_proj" in model.sites
+    use_attn_kernel = (hd in (64, 128) and impl is not None
+                       and jax.default_backend() != "cpu"
+                       and os.environ.get("AMQ_ATTN_KERNEL", "1") != "0")
 
     uniform = model.uniform_select
     first_site = next(iter(model.select))
@@ -131,13 +135,23 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
         vv = jnp.transpose(vv.reshape(B, 1, cfg.num_kv_heads, hd),
                            (0, 2, 1, 3))
 
-        # cache buffers are read-only inside the layer scan; the split
-        # attention takes per-slot offsets (lengths) and this step's
-        # keys directly — no per-layer buffer round trip
-        k_c = jax.lax.dynamic_index_in_dim(cache.k, i, 0, False)
-        v_c = jax.lax.dynamic_index_in_dim(cache.v, i, 0, False)
-        att = llama._attention_split(q, k_c, v_c, kk, vv, cache.lengths,
-                                     cfg.sliding_window, compute_dtype)
+        # cache buffers are read-only inside the layer scan; attention
+        # takes per-slot offsets (lengths) and this step's keys directly
+        # — no per-layer buffer round trip
+        if use_attn_kernel:
+            from ..ops.decode_attention import decode_attention_indexed
+            Hkv = cfg.num_kv_heads
+            G = cfg.num_heads // Hkv
+            att = decode_attention_indexed(
+                q.reshape(B, Hkv, G, hd), cache.k, cache.v,
+                kk.reshape(B, Hkv, hd), vv.reshape(B, Hkv, hd),
+                cache.lengths, i, window=cfg.sliding_window,
+                out_dtype=compute_dtype).reshape(B, 1, cfg.num_heads, hd)
+        else:
+            k_c = jax.lax.dynamic_index_in_dim(cache.k, i, 0, False)
+            v_c = jax.lax.dynamic_index_in_dim(cache.v, i, 0, False)
+            att = llama._attention_split(q, k_c, v_c, kk, vv, cache.lengths,
+                                         cfg.sliding_window, compute_dtype)
         att = att.reshape(B, 1, cfg.num_heads * hd)
         o = _apply_site(model, "self_attn.o_proj", i, att, compute_dtype,
                         bit_idx)

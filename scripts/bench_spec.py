@@ -61,17 +61,27 @@ def main():
     plain_dt = time.time() - t0
     log(f"plain decode: {GEN/plain_dt:.1f} tok/s")
 
-    for gamma in (2, 4):
-        spec = SpeculativeEngine(eng, draft, gamma=gamma)
-        out, stats = spec.generate(prompt, max_new_tokens=GEN)  # compile
-        t0 = time.time()
-        out, stats = spec.generate(prompt, max_new_tokens=GEN)
-        dt = time.time() - t0
-        match = (np.asarray(out[0, :GEN]) == np.asarray(toks[0, :GEN])).mean()
-        log(f"gamma={gamma}: {GEN/dt:.1f} tok/s "
-            f"({plain_dt/dt:.2f}x), acceptance {stats.acceptance_rate:.2f} "
-            f"({stats.accepted}/{stats.rounds} over {stats.tokens} tokens), "
-            f"greedy-match vs plain {match:.2f}")
+    # NOTE on random weights: logits of a random-init model are nearly
+    # tied, so (a) a 2-bit draft's argmax chain has ~zero overlap with the
+    # 4-bit target's, and (b) the target's own GEMM-path verification can
+    # argmax-flip vs its GEMV decode path at bf16 — acceptance measured
+    # here is a LOWER bound with no bearing on real weights (where logit
+    # margins dominate both effects).  The draft=target case bounds the
+    # harness overhead + numeric-path consistency instead.
+    for name, d in (("draft=2bit", draft), ("draft=target", target)):
+        for gamma in (2, 4):
+            spec = SpeculativeEngine(eng, d, gamma=gamma)
+            out, stats = spec.generate(prompt, max_new_tokens=GEN)  # compile
+            t0 = time.time()
+            out, stats = spec.generate(prompt, max_new_tokens=GEN)
+            dt = time.time() - t0
+            match = (np.asarray(out[0, :GEN])
+                     == np.asarray(toks[0, :GEN])).mean()
+            log(f"{name} gamma={gamma}: {GEN/dt:.1f} tok/s "
+                f"({plain_dt/dt:.2f}x), acceptance "
+                f"{stats.acceptance_rate:.2f} "
+                f"({stats.accepted}/{stats.rounds} over {stats.tokens} "
+                f"tokens), greedy-match vs plain {match:.2f}")
 
 
 if __name__ == "__main__":

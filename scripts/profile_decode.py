@@ -56,15 +56,24 @@ def main():
     logdir = "/tmp/amq_prof"
     os.system(f"rm -rf {logdir}")
     t0 = time.time()
+    prefill_mode = os.environ.get("PROF_PREFILL", "0") == "1"
     try:
         jax.profiler.start_trace(logdir)
-        toks, _ = eng._decode_n(eng.params, first, cache, n_steps=16)
-        np.asarray(toks)
+        if prefill_mode:
+            last2, _ = eng._prefill(eng.params, jnp.asarray(prompt),
+                                    eng.new_cache())
+            np.asarray(last2)
+        else:
+            toks, _ = eng._decode_n(eng.params, first, cache, n_steps=16)
+            np.asarray(toks)
     finally:
         jax.profiler.stop_trace()
     wall = time.time() - t0
-    print(f"16-step decode wall: {wall*1e3:.1f} ms "
-          f"({wall/16*1e3:.2f} ms/token at {L_OVERRIDE} layers)",
+    what = "prefill" if prefill_mode else "16-step decode"
+    print(f"{what} wall: {wall*1e3:.1f} ms "
+          f"({wall/16*1e3:.2f} ms/token at {L_OVERRIDE} layers)"
+          if not prefill_mode else
+          f"{what} wall: {wall*1e3:.1f} ms at {L_OVERRIDE} layers",
           file=sys.stderr, flush=True)
 
     files = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
