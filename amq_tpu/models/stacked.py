@@ -422,6 +422,65 @@ def _apply_down_swiglu(model: StackedModel, i, gate, up, compute_dtype,
     return y
 
 
+def _apply_mlp_merged(model: StackedModel, i, h, compute_dtype,
+                      bit_idx: Optional[int]):
+    """Whole-MLP megakernel (gateup + SwiGLU + down in ONE pallas_call,
+    ops/quant_matmul.quant_matmul_mlp_indexed) when it applies; ``None``
+    otherwise (caller falls back to the separate-call path).
+
+    Applies at decode GEMV shapes (B*S <= 8, bf16) with the Pallas impl
+    active, a hoisted static ``bit_idx`` (whole-layer switch), matching
+    packed layouts between the gateup/down stacks, and no MLP biases.
+
+    OPT-IN (AMQ_MLP_KERNEL=1): measured cost-neutral-to-negative on v5e
+    at 7B decode (4-bit-container layer MLP 108.4 us merged vs 106.9
+    separate; headline 168.3 vs 170.6 tok/s) — the pallas_call boundary
+    it removes was already fully overlapped by the backend.  Kept as the
+    measured data point for the "layer megakernel" roadmap idea.
+    """
+    if bit_idx is None or compute_dtype != jnp.bfloat16:
+        return None
+    if linear_mod._KERNEL_IMPL is None or jax.default_backend() == "cpu":
+        return None
+    if os.environ.get("AMQ_MLP_KERNEL", "0") != "1":
+        return None
+    if ("mlp.gateup_proj" not in model.sites
+            or "mlp.down_proj" not in model.sites):
+        return None
+    if (model.biases["mlp.gateup_proj"] is not None
+            or model.biases["mlp.down_proj"] is not None):
+        return None
+    gu = model.sites["mlp.gateup_proj"][bit_idx]
+    dn = model.sites["mlp.down_proj"][bit_idx]
+    if not (gu.superblock and dn.superblock):
+        return None
+    if (gu.nbits != dn.nbits or gu.group_size != dn.group_size
+            or gu.superblock != dn.superblock):
+        return None
+    lead = h.shape[:-1]
+    M = 1
+    for s in lead:
+        if not isinstance(s, int):
+            return None
+        M *= s
+    if M > 8:
+        return None
+    inter_real = gu.shape[0] // 2
+    Np_gu = gu.packed.shape[2]
+    Kp_d = dn.packed.shape[1] * 32 // dn.nbits
+    if inter_real % 128 != 0 or inter_real + Kp_d > Np_gu:
+        return None
+    from ..ops.quant_matmul import quant_matmul_mlp_indexed
+    si = _stack_index(model, i)
+    out = quant_matmul_mlp_indexed(
+        h.reshape(-1, h.shape[-1]), gu.packed, gu.scale, gu.zero,
+        dn.packed, dn.scale, dn.zero, si,
+        nbits=gu.nbits, group_size=gu.group_size,
+        gu_shape=gu.shape, d_shape=dn.shape, superblock=gu.superblock,
+        out_dtype=compute_dtype)
+    return out.reshape(*lead, dn.shape[0])
+
+
 def _stack_index(model: StackedModel, i):
     """Index of layer ``i`` inside the per-bit stacks: the layer number,
     or its compact-container slot for merged models (merge_containers)."""
@@ -567,17 +626,21 @@ def scan_layers(
         h = llama.rms_norm(
             x, jax.lax.dynamic_index_in_dim(model.post_norm, i, 0, False),
             cfg.rms_norm_eps)
-        if fused:
-            gu = _apply_site(model, "mlp.gateup_proj", i, h, compute_dtype,
-                             bit_idx)
-            gate = gu[..., :cfg.intermediate_size]
-            up = gu[..., cfg.intermediate_size:]
-        else:
-            gate = _apply_site(model, "mlp.gate_proj", i, h, compute_dtype,
-                               bit_idx)
-            up = _apply_site(model, "mlp.up_proj", i, h, compute_dtype,
-                             bit_idx)
-        down = _apply_down_swiglu(model, i, gate, up, compute_dtype, bit_idx)
+        down = (_apply_mlp_merged(model, i, h, compute_dtype, bit_idx)
+                if fused else None)
+        if down is None:
+            if fused:
+                gu = _apply_site(model, "mlp.gateup_proj", i, h,
+                                 compute_dtype, bit_idx)
+                gate = gu[..., :cfg.intermediate_size]
+                up = gu[..., cfg.intermediate_size:]
+            else:
+                gate = _apply_site(model, "mlp.gate_proj", i, h,
+                                   compute_dtype, bit_idx)
+                up = _apply_site(model, "mlp.up_proj", i, h, compute_dtype,
+                                 bit_idx)
+            down = _apply_down_swiglu(model, i, gate, up, compute_dtype,
+                                      bit_idx)
         if tp_axis is not None:
             down = jax.lax.psum(down, tp_axis)
         x = x + down

@@ -669,6 +669,187 @@ def quant_matmul_swiglu_indexed(
     return out[:M, :N]
 
 
+def _qmm_kernel_mlp(idx_ref, x_ref, guw_ref, gus_ref, guz_ref,
+                    dw_ref, ds_ref, dz_ref, o_ref, gu_acc,
+                    *, nbits, group_size, T, S1, Kgu_t, Kd_t,
+                    bn_gu, sb, inter_real, m_real):
+    """Whole-MLP decode megakernel body: phase 1 (steps < S1) accumulates
+    the gateup GEMV into the VMEM scratch ``gu_acc``; phase 2 computes
+    SwiGLU on scratch slices and runs the down GEMV.  One pallas_call =
+    down's first weight tiles DMA while gateup's last tiles compute (a
+    separate call pair drains the DMA pipeline at the boundary)."""
+    d = pl.program_id(0)
+
+    @pl.when(d < S1)
+    def _():
+        k = d % Kgu_t
+        n = d // Kgu_t
+        y = _gemv_blockdiag(x_ref[:], guw_ref[0], gus_ref[0, 0],
+                            guz_ref[0, 0], nbits, group_size, T, bn_gu,
+                            acc_dtype=jnp.bfloat16, m_real=m_real
+                            ).astype(gu_acc.dtype)
+
+        @pl.when(k == 0)
+        def _():
+            gu_acc[:, pl.ds(n * bn_gu, bn_gu)] = y
+
+        @pl.when(k > 0)
+        def _():
+            gu_acc[:, pl.ds(n * bn_gu, bn_gu)] += y
+
+    @pl.when(d >= S1)
+    def _():
+        dd = d - S1
+        k = dd % Kd_t
+        g = gu_acc[:, pl.ds(k * sb, sb)].astype(jnp.float32)
+        u = gu_acc[:, pl.ds(inter_real + k * sb, sb)].astype(jnp.float32)
+        # zero the tail where this k-tile crosses into the padded region
+        # (gate cols >= inter_real alias the up block; w pad rows are
+        # arbitrary bits) — mirrors the separate path's x zero-padding
+        col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1) + k * sb
+        x = jnp.where(col < inter_real,
+                      g * jax.nn.sigmoid(g) * u,
+                      0.0).astype(jnp.bfloat16)
+        bn_d = o_ref.shape[1]
+        y = _gemv_blockdiag(x, dw_ref[0], ds_ref[0, 0], dz_ref[0, 0],
+                            nbits, group_size, T, bn_d,
+                            acc_dtype=jnp.bfloat16, m_real=m_real)
+
+        @pl.when(k == 0)
+        def _():
+            o_ref[:] = y.astype(o_ref.dtype)
+
+        @pl.when(k > 0)
+        def _():
+            o_ref[:] += y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbits", "group_size", "gu_shape", "d_shape",
+                     "superblock", "out_dtype"))
+def quant_matmul_mlp_indexed(
+    x: jnp.ndarray,               # [M, K_gu] (post-norm hidden), M <= 8
+    gu_packed: jnp.ndarray,       # [L, K_gu*b/32, Np_gu] gateup stack
+    gu_scale: jnp.ndarray,
+    gu_zero: jnp.ndarray,
+    d_packed: jnp.ndarray,        # [L, K_d*b/32, Np_d] down stack
+    d_scale: jnp.ndarray,
+    d_zero: jnp.ndarray,
+    layer: jnp.ndarray,
+    *,
+    nbits: int,
+    group_size: int,
+    gu_shape,                     # (N_gu, K_gu) logical ([gate;up], hidden)
+    d_shape,                      # (N_d, K_d) logical (hidden, inter)
+    superblock: int,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Decode-path MLP megakernel: ``down(swiglu(gateup(x)))`` for layer
+    ``layer`` of stacked weights, one pallas_call (flat phase-encoded grid).
+
+    TPU-shaped fusion of the reference's separate gate/up/down GEMVs +
+    elementwise SwiGLU (monkeypatch/ftllama_modeling.py MLP): the gateup
+    output never leaves VMEM, and the grid's revolving-buffer DMA prefetch
+    runs across the swiglu boundary.  Decode/GEMV regime only (M <= 8,
+    bf16) — prefill keeps the separate tiled GEMM calls.
+    """
+    N_gu, K_gu = gu_shape
+    N_d, K_d = d_shape
+    L, gu_rows, Np_gu = gu_packed.shape
+    _, d_rows, Np_d = d_packed.shape
+    Kp_gu = gu_rows * 32 // nbits
+    Kp_d = d_rows * 32 // nbits
+    M = x.shape[0]
+    assert M <= 8, M
+    inter_real = N_gu // 2
+    assert inter_real % 128 == 0, inter_real   # lane-aligned scratch slices
+    # the up slice reads gu_acc[:, inter_real + k*sb : +sb] — the scratch
+    # (sized to the gateup N padding) must cover down's padded K range
+    assert inter_real + Kp_d <= Np_gu, (inter_real, Kp_d, Np_gu)
+    g = group_size
+    sb = superblock
+    assert Kp_d % sb == 0 and Kp_gu % sb == 0
+    T = sb // g
+
+    bn_gu = _pick_tile(Np_gu, (2048, 1024, 512, 256, 128))
+    bn_d = _pick_tile(Np_d, (2048, 1024, 512, 256, 128))
+    Kgu_t, Kd_t = Kp_gu // sb, Kp_d // sb
+    S1 = (Np_gu // bn_gu) * Kgu_t
+    D = S1 + (Np_d // bn_d) * Kd_t
+
+    if K_gu < Kp_gu:
+        x = jnp.pad(x, ((0, 0), (0, Kp_gu - K_gu)))
+    m_pad = -M % 8
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    bm = x.shape[0]
+
+    gu_rpt = packed_rows(sb, nbits)
+    d_rpt = packed_rows(sb, nbits)
+    gus4 = gu_scale.reshape(L, Kgu_t, T, Np_gu)
+    guz4 = gu_zero.reshape(L, Kgu_t, T, Np_gu)
+    ds4 = d_scale.reshape(L, Kd_t, T, Np_d)
+    dz4 = d_zero.reshape(L, Kd_t, T, Np_d)
+    idx = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    last_kgu, last_ngu = Kgu_t - 1, Np_gu // bn_gu - 1
+
+    def gu_k(d):
+        return jnp.where(d < S1, d % Kgu_t, last_kgu)
+
+    def gu_n(d):
+        return jnp.where(d < S1, d // Kgu_t, last_ngu)
+
+    def d_k(d):
+        return jnp.where(d < S1, 0, (d - S1) % Kd_t)
+
+    def d_n(d):
+        return jnp.where(d < S1, 0, (d - S1) // Kd_t)
+
+    kernel = functools.partial(
+        _qmm_kernel_mlp, nbits=nbits, group_size=g, T=T, S1=S1,
+        Kgu_t=Kgu_t, Kd_t=Kd_t, bn_gu=bn_gu, sb=sb,
+        inter_real=inter_real, m_real=M)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(D,),
+        in_specs=[
+            pl.BlockSpec((bm, sb), lambda d, idx: (0, gu_k(d))),
+            pl.BlockSpec((1, gu_rpt, bn_gu),
+                         lambda d, idx: (idx[0], gu_k(d), gu_n(d))),
+            pl.BlockSpec((1, 1, T, bn_gu),
+                         lambda d, idx: (idx[0], gu_k(d), 0, gu_n(d))),
+            pl.BlockSpec((1, 1, T, bn_gu),
+                         lambda d, idx: (idx[0], gu_k(d), 0, gu_n(d))),
+            pl.BlockSpec((1, d_rpt, bn_d),
+                         lambda d, idx: (idx[0], d_k(d), d_n(d))),
+            pl.BlockSpec((1, 1, T, bn_d),
+                         lambda d, idx: (idx[0], d_k(d), 0, d_n(d))),
+            pl.BlockSpec((1, 1, T, bn_d),
+                         lambda d, idx: (idx[0], d_k(d), 0, d_n(d))),
+        ],
+        out_specs=pl.BlockSpec((bm, bn_d), lambda d, idx: (0, d_n(d))),
+        scratch_shapes=[pltpu.VMEM((bm, Np_gu), jnp.bfloat16)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bm, Np_d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * (N_gu * K_gu + N_d * K_d),
+            bytes_accessed=(K_gu * N_gu + K_d * N_d) * nbits // 8
+            + M * K_gu * x.dtype.itemsize + M * N_d * 4,
+            transcendentals=M * K_d,
+        ),
+    )(idx, x, gu_packed, gus4, guz4, d_packed, ds4, dz4)
+    return out[:M, :N_d]
+
+
 def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
                  out_dtype=None, acc_dtype=None) -> jnp.ndarray:
     """``x @ W_dequant.T`` with W in packed form.  x: [..., K] -> [..., N].

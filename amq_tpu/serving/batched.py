@@ -32,7 +32,7 @@ from ..models import llama
 from ..models.config import ModelConfig
 from ..models.linear import kernel_linears
 from ..models.stacked import (StackedModel, forward_stacked, _apply_site,
-                              _apply_down_swiglu)
+                              _apply_down_swiglu, _apply_mlp_merged)
 
 
 @jax.tree_util.register_dataclass
@@ -160,17 +160,21 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
         h = llama.rms_norm(
             x, jax.lax.dynamic_index_in_dim(model.post_norm, i, 0, False),
             cfg.rms_norm_eps)
-        if fused:
-            gu = _apply_site(model, "mlp.gateup_proj", i, h, compute_dtype,
-                             bit_idx)
-            gate = gu[..., :cfg.intermediate_size]
-            up = gu[..., cfg.intermediate_size:]
-        else:
-            gate = _apply_site(model, "mlp.gate_proj", i, h, compute_dtype,
-                               bit_idx)
-            up = _apply_site(model, "mlp.up_proj", i, h, compute_dtype,
-                             bit_idx)
-        down = _apply_down_swiglu(model, i, gate, up, compute_dtype, bit_idx)
+        down = (_apply_mlp_merged(model, i, h, compute_dtype, bit_idx)
+                if fused else None)
+        if down is None:
+            if fused:
+                gu = _apply_site(model, "mlp.gateup_proj", i, h,
+                                 compute_dtype, bit_idx)
+                gate = gu[..., :cfg.intermediate_size]
+                up = gu[..., cfg.intermediate_size:]
+            else:
+                gate = _apply_site(model, "mlp.gate_proj", i, h,
+                                   compute_dtype, bit_idx)
+                up = _apply_site(model, "mlp.up_proj", i, h, compute_dtype,
+                                 bit_idx)
+            down = _apply_down_swiglu(model, i, gate, up, compute_dtype,
+                                      bit_idx)
         x = x + down
         return x, kk.astype(cache.k.dtype), vv.astype(cache.v.dtype)
 
