@@ -124,7 +124,14 @@ def decode_attention_indexed(
     T = k_cache.shape[3]
     Tt = _pick_t_tile(T)
     n_t = T // Tt
-    Hb = 8 if Hkv % 8 == 0 else Hkv
+    # KV-head block: bigger blocks = fewer grid cells / larger DMAs (the
+    # per-cell overhead dominates at slot-batched B); capped so the K+V
+    # double-buffered tiles stay within ~8 MB of VMEM
+    Hb = Hkv
+    while Hb > 8 and (Hb % 8 or Hb * Tt * hd * 2 * 2 * 2 > 8 * 2**20):
+        Hb //= 2
+    if Hkv % Hb:
+        Hb = 8 if Hkv % 8 == 0 else Hkv
 
     offs = jnp.asarray(offsets, jnp.int32).reshape(B)
     idx = jnp.asarray(layer, jnp.int32).reshape(1)

@@ -105,8 +105,13 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
     cos, sin = llama.rope_cos_sin(cfg, positions, dtype=compute_dtype)
 
     fused = "self_attn.qkv_proj" in model.sites
+    # flash-decode kernel pays once the cache is longer than the live
+    # contexts (clamped DMA); at short max_len the XLA batched einsum's
+    # single big stream beats the kernel's per-(slot,head) cells
+    # (measured at 8 slots: 211 vs 226 tok/s at T=512, 163 vs 152 at 1024)
     use_attn_kernel = (hd in (64, 128) and impl is not None
                        and jax.default_backend() != "cpu"
+                       and cache.k.shape[3] >= 1024
                        and os.environ.get("AMQ_ATTN_KERNEL", "1") != "0")
 
     uniform = model.uniform_select
