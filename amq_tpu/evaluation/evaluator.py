@@ -19,6 +19,7 @@ size 1 (utils/eval.py:40-44).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
@@ -57,6 +58,24 @@ class Evaluator:
         self.datasets = datasets or {}
         self.dense_params = dense_params
         self.quantize_fn = quantize_fn
+
+        # dense-logit device cache: the search loop re-evaluates the SAME
+        # token batches ~10k times, and host->device transfer of a full
+        # [B, S, V] f32 logits batch measured 100 s over the axon tunnel
+        # (the tunnel collapses to ~20 MB/s on GB-sized single puts vs
+        # ~430 MB/s for <=512 MB chunks, scripts/bench_eval.py).  Batches
+        # are shipped fp16 in chunks once and pinned on device up to this
+        # budget; the remainder streams chunked with one-batch prefetch.
+        self.dense_cache_bytes = int(
+            float(os.environ.get("AMQ_DENSE_CACHE_GIB", "4")) * 2**30)
+        # fp8 pinning doubles the samples that fit on one chip (128x2048
+        # wikitext2 logits: 16.8 GB fp16 vs 8.4 GB e4m3); measured JSD
+        # delta on tiny-llama: 1.6e-4 absolute on a 0.058 JSD
+        # (tests/test_evaluation.py::test_dense_device_cache_and_fp8)
+        self.dense_cache_dtype = jnp.dtype(
+            os.environ.get("AMQ_DENSE_CACHE_DTYPE", "float16"))
+        self._dense_dev: Dict[Any, jax.Array] = {}
+        self._dense_dev_bytes = 0
 
         # jitted once; re-used across every arch eval (a fresh jax.jit per
         # call would retrace each of the ~10k search evaluations)
@@ -158,20 +177,64 @@ class Evaluator:
         assert self.quantize_fn is not None, "final mode needs quantize_fn"
         return self.quantize_fn(self.model_params, self.cfg, arch, method)
 
+    def _put_chunked(self, arr: np.ndarray, chunk_bytes=512 * 2**20):
+        """device_put in <=512 MB row chunks (the tunneled backend's
+        transfer rate collapses ~20x on GB-sized single puts)."""
+        if self.mesh is not None:
+            return self._shard_tokens(jnp.asarray(arr))
+        row = arr.nbytes // max(arr.shape[0], 1)
+        rows = max(1, chunk_bytes // max(row, 1))
+        if rows >= arr.shape[0]:
+            return jax.device_put(arr)
+        parts = [jax.device_put(arr[i:i + rows])
+                 for i in range(0, arr.shape[0], rows)]
+        return jnp.concatenate(parts, axis=0)
+
+    def _dense_batch(self, dense_logits: np.ndarray, i: int, n_valid: int,
+                     B: int, cache_key=None):
+        """One padded [B, S, V] fp16 dense-logits batch on device, pinned
+        in the device cache (budget permitting) keyed by (dataset, row)."""
+        key = (cache_key, i) if cache_key is not None else None
+        if key is not None and key in self._dense_dev:
+            return self._dense_dev[key]
+        dense = np.asarray(dense_logits[i:i + n_valid], np.float16)
+        if n_valid < B:
+            dense = np.concatenate(
+                [dense, np.repeat(dense[-1:], B - n_valid, axis=0)], axis=0)
+        dev = self._put_chunked(dense)
+        if self.dense_cache_dtype != jnp.float16:
+            dev = dev.astype(self.dense_cache_dtype)  # cast on device
+        nbytes = dense.size * self.dense_cache_dtype.itemsize
+        if (key is not None
+                and self._dense_dev_bytes + nbytes
+                <= self.dense_cache_bytes):
+            self._dense_dev[key] = dev
+            self._dense_dev_bytes += nbytes
+        return dev
+
     def eval_loss(self, params, tokens: np.ndarray,
-                  dense_logits: np.ndarray) -> float:
+                  dense_logits: np.ndarray, cache_key=None) -> float:
         per_sample = []
         jitted = self._loss_step
+        batches = list(self._batches(tokens))
+        # one-batch prefetch: ship batch i+1's dense logits while the
+        # device runs batch i's forward+loss (device_put is async)
         i = 0
-        for batch, n_valid in self._batches(tokens):
-            toks = self._shard_tokens(jnp.asarray(batch))
-            dense = np.asarray(dense_logits[i:i + n_valid], np.float32)
-            if n_valid < batch.shape[0]:
-                pad = np.repeat(dense[-1:], batch.shape[0] - n_valid, axis=0)
-                dense = np.concatenate([dense, pad], axis=0)
-            dense = self._shard_tokens(jnp.asarray(dense))
-            per_sample.append(np.asarray(jitted(params, toks, dense))[:n_valid])
+        starts = []
+        for batch, n_valid in batches:
+            starts.append(i)
             i += n_valid
+        dense_next = self._dense_batch(
+            dense_logits, starts[0], batches[0][1], batches[0][0].shape[0],
+            cache_key)
+        for bi, (batch, n_valid) in enumerate(batches):
+            toks = self._shard_tokens(jnp.asarray(batch))
+            dense = dense_next
+            if bi + 1 < len(batches):
+                nb, nv = batches[bi + 1]
+                dense_next = self._dense_batch(
+                    dense_logits, starts[bi + 1], nv, nb.shape[0], cache_key)
+            per_sample.append(np.asarray(jitted(params, toks, dense))[:n_valid])
         return float(np.mean(np.concatenate(per_sample)))
 
     def eval_ppl(self, params, tokens: np.ndarray) -> float:
@@ -190,7 +253,7 @@ class Evaluator:
             params = self.sample(architecture)
             for name, toks in self.datasets.items():
                 metric_list[name] = self.eval_loss(
-                    params, toks, self.dense_logits[name])
+                    params, toks, self.dense_logits[name], cache_key=name)
         else:
             params = self.sample(architecture, method)
             for name, toks in self.datasets.items():

@@ -128,3 +128,29 @@ def test_ragged_batch_padding_under_mesh(setup):
     m, _ = ev.eval(arch)
     m1, _ = ev1.eval(arch)
     assert m["synthetic"] == pytest.approx(m1["synthetic"], rel=1e-4)
+
+
+def test_dense_device_cache_and_fp8(setup, monkeypatch):
+    """The pinned device cache must not change the loss; fp8 pinning
+    (AMQ_DENSE_CACHE_DTYPE=float8_e4m3fn) stays within ~2e-3 JSD."""
+    cfg, params, ev = setup
+    arch = _uniform(cfg, 3)
+    base, _ = ev.eval(arch)
+
+    ev2 = Evaluator(cfg, dense_params=params,
+                    datasets={"synthetic": ev.datasets["synthetic"]},
+                    batch_size=2)
+    ev2.dense_cache_bytes = 1 << 30
+    m1, _ = ev2.eval(arch)          # fills the cache
+    assert ev2._dense_dev_bytes > 0 and len(ev2._dense_dev) == 2
+    m2, _ = ev2.eval(arch)          # cache-hit path
+    assert m2["synthetic"] == pytest.approx(m1["synthetic"], abs=1e-6)
+    assert m1["synthetic"] == pytest.approx(base["synthetic"], abs=1e-5)
+
+    ev8 = Evaluator(cfg, dense_params=params,
+                    datasets={"synthetic": ev.datasets["synthetic"]},
+                    batch_size=2)
+    ev8.dense_cache_dtype = jnp.dtype(jnp.float8_e4m3fn)
+    ev8.dense_cache_bytes = 1 << 30
+    m8, _ = ev8.eval(arch)
+    assert m8["synthetic"] == pytest.approx(base["synthetic"], abs=2e-3)
