@@ -41,7 +41,26 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="evaluation forward dtype; bfloat16 mirrors the "
                         "reference's fp16 model (utils/func.py "
                         "get_hfmodel) and doubles MXU rate")
+    p.add_argument("--dense_cache_gib", type=float, default=None,
+                   help="HBM budget for pinning the dense FP16 logit "
+                        "cache on device across search evals (default 4; "
+                        "host->device streaming per eval is ~50x slower "
+                        "on tunneled backends)")
+    p.add_argument("--dense_cache_dtype", type=str, default=None,
+                   choices=("float16", "float8_e4m3fn"),
+                   help="pinned dense-logit dtype; fp8 fits 2x the "
+                        "samples at ~2e-4 JSD delta")
     return p
+
+
+def apply_eval_cache_args(ev, args):
+    """Apply --dense_cache_gib / --dense_cache_dtype to an Evaluator."""
+    if getattr(args, "dense_cache_gib", None) is not None:
+        ev.dense_cache_bytes = int(args.dense_cache_gib * 2**30)
+    if getattr(args, "dense_cache_dtype", None):
+        import jax.numpy as jnp
+        ev.dense_cache_dtype = jnp.dtype(args.dense_cache_dtype)
+    return ev
 
 
 def compute_dtype(args):

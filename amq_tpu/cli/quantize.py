@@ -14,7 +14,8 @@ import json
 
 import numpy as np
 
-from .common import (base_parser, compute_dtype, data_mesh, dump_json,
+from .common import (apply_eval_cache_args, base_parser, compute_dtype,
+                     data_mesh, dump_json,
                      load_model, load_tokens, setup_jax)
 
 
@@ -93,6 +94,7 @@ def main(argv=None):
                    group_size=args.group_size, batch_size=args.batch_size,
                    mesh=data_mesh(args), quantize_fn=quantize_fn,
                    compute_dtype=compute_dtype(args))
+    apply_eval_cache_args(ev, args)
 
     results = []
     for arch, metric, bits in selected:

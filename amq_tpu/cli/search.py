@@ -11,7 +11,8 @@ from __future__ import annotations
 import json
 import os
 
-from .common import (base_parser, compute_dtype, data_mesh, load_model,
+from .common import (apply_eval_cache_args, base_parser, compute_dtype,
+                     data_mesh, load_model,
                      load_tokens, setup_jax)
 
 
@@ -61,6 +62,7 @@ def main(argv=None):
                    datasets={args.dataset: tokens},
                    group_size=args.group_size, batch_size=args.batch_size,
                    mesh=data_mesh(args), compute_dtype=compute_dtype(args))
+    apply_eval_cache_args(ev, args)
     space = SearchSpace(cfg.topology(), group_size=args.group_size,
                         pass_linear_list=pass_list,
                         rng=np.random.default_rng(args.seed))

@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import os
 
-from .common import (base_parser, compute_dtype, data_mesh, dump_json,
+from .common import (apply_eval_cache_args, base_parser, compute_dtype,
+                     data_mesh, dump_json,
                      load_model, load_tokens, setup_jax)
 
 
@@ -38,6 +39,7 @@ def main(argv=None):
                    datasets={args.dataset: tokens},
                    group_size=args.group_size, batch_size=args.batch_size,
                    mesh=data_mesh(args), compute_dtype=compute_dtype(args))
+    apply_eval_cache_args(ev, args)
     table = linear_sensitivity(ev, args.dataset, progress=True)
     # local:<path> datasets carry slashes; keep the filename flat
     ds_tag = os.path.basename(args.dataset.replace("local:", ""))
