@@ -95,6 +95,30 @@ def get_c4(tokenizer, seqlen: int = 2048, train: bool = False, seed: int = 0,
     return _chunk(ids, seqlen)
 
 
+def get_pileval(tokenizer, block_size: int = 512, n_lines: int = 512,
+                seed: int = 42,
+                cache_dir: Optional[str] = None) -> np.ndarray:
+    """AWQ's pileval calibration set with the reference's exact semantics
+    (quantization/base.py:7-34): shuffle seed 42, per-line tokenize, skip
+    lines longer than 512 tokens, take ``n_lines`` lines, concatenate and
+    split into ``block_size``-token blocks."""
+    datasets = _require_datasets()
+    d = datasets.load_dataset("mit-han-lab/pile-val-backup",
+                              split="validation", cache_dir=cache_dir)
+    d = d.shuffle(seed=seed)
+    ids_parts = []
+    n_run = 0
+    for row in d:
+        enc = np.asarray(tokenizer.encode(row["text"].strip()))
+        if enc.size > 512 or enc.size == 0:
+            continue
+        ids_parts.append(enc)
+        n_run += 1
+        if n_run == n_lines:
+            break
+    return _chunk(np.concatenate(ids_parts), block_size)
+
+
 def get_local_text(path: str, tokenizer, seqlen: int = 2048,
                    train: bool = False, seed: int = 0,
                    n_sample: int = 128) -> np.ndarray:
@@ -127,6 +151,9 @@ def get_loader(name: str, tokenizer=None, n_sample: int = 128,
         toks = get_local_text(name[len("local:"):], tokenizer, seqlen=seqlen,
                               train=train, seed=seed, n_sample=n_sample)
         return toks[:n_sample] if train else toks
+    if name == "pileval":
+        return get_pileval(tokenizer, block_size=seqlen,
+                           cache_dir=cache_dir)
     if "wikitext2" in name:
         return get_wikitext2(tokenizer, seqlen=seqlen, train=train, seed=seed,
                              n_sample=n_sample, cache_dir=cache_dir)

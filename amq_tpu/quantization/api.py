@@ -42,9 +42,14 @@ def get_calib_tokens(method: str, tokenizer=None, n_samples: int = 128,
                                          seqlen=seqlen, seed=seed)
     name = CALIB_DATASET[method]
     if name == "pileval":
-        # reference uses mit-han-lab/pile-val-backup (base.py:7-34);
-        # substitute c4 when the pile cache is unavailable
-        name = "c4"
+        # the reference default (mit-han-lab/pile-val-backup, base.py:7-34);
+        # c4 substitutes only when the pile cache/hub is unreachable
+        try:
+            return data_mod.get_loader("pileval", tokenizer=tokenizer,
+                                       n_sample=n_samples, seqlen=seqlen,
+                                       cache_dir=cache_dir)
+        except Exception:
+            name = "c4"
     return data_mod.get_loader(name, tokenizer=tokenizer, n_sample=n_samples,
                                train=True, seed=seed, seqlen=seqlen,
                                cache_dir=cache_dir)

@@ -75,6 +75,9 @@ class _MockSplit:
             return list(self._rows)
         raise KeyError(key)
 
+    def __iter__(self):
+        return ({"text": r} for r in self._rows)
+
 
 def test_wikitext_c4_chunking_semantics(ckpt, monkeypatch):
     """get_wikitext2/get_c4 slicing against a mocked `datasets` module:
@@ -131,3 +134,33 @@ def test_cli_pipeline_on_hf_checkpoint(ckpt, tmp_path):
     import glob as g
     files = g.glob(str(out / "*.json"))
     assert files, "sensitivity output missing"
+
+
+def test_pileval_chunking_semantics(ckpt, monkeypatch):
+    """get_pileval vs the reference contract (quantization/base.py:7-34):
+    seed-42 shuffle, per-line encode, skip >512-token lines, first-n
+    lines concatenated and split into block_size blocks."""
+    path, cfg, _ = ckpt
+    tok = hf_mod.load_tokenizer(path)
+    rows = [f"w{(i % 60) + 1} w{(i % 50) + 2} w{(i % 40) + 3}"
+            for i in range(300)]
+    rows[5] = " ".join(f"w{(j % 60) + 1}" for j in range(600))  # >512 toks
+
+    mock = types.ModuleType("datasets")
+    mock.load_dataset = lambda *a, **kw: _MockSplit(rows)
+    monkeypatch.setitem(sys.modules, "datasets", mock)
+
+    got = data_mod.get_pileval(tok, block_size=16, n_lines=20)
+
+    parts, n_run = [], 0
+    for r in _MockSplit(rows).shuffle(seed=42)._rows:
+        enc = np.asarray(tok.encode(r.strip()))
+        if enc.size > 512 or enc.size == 0:
+            continue
+        parts.append(enc)
+        n_run += 1
+        if n_run == 20:
+            break
+    ref = np.concatenate(parts)
+    n = ref.size // 16
+    np.testing.assert_array_equal(got, ref[: n * 16].reshape(n, 16))
