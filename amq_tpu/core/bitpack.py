@@ -72,13 +72,18 @@ def pick_superblock_padded(K: int, group_size: int = 128,
     Awkward in-features (Llama's 11008) otherwise force a small superblock
     (256), i.e. 4x more grid steps in the fused kernels — and per-grid-step
     overhead, not bytes, dominates the decode GEMV (scripts/bisect6.py).
-    Padding is accepted when bounded (<= block/4 and <= K/10): 11008 ->
+    Padding is accepted when bounded (<= block/2 and <= K/8): 11008 ->
     1024-blocks with 256 zero rows (+2.3% streamed bytes for ~4x fewer
-    steps).  Zero-padded x rows contribute exactly 0 to the matmul.
+    steps); 13824 (Llama-2-13B) / 18944 (Qwen2.5-7B) -> 1024-blocks with
+    512 pad.  Beyond fewer grid steps, big blocks keep groups_per_tile
+    >= 8: a smaller block makes the kernels' [L, Kt, T, N] scale/zero
+    view a sublane-padding LAYOUT COPY that XLA re-materializes inside
+    every decode cond (~45 us/layer/array measured on 13B).
+    Zero-padded x rows contribute exactly 0 to the matmul.
     """
     for c in candidates:
         pad = -K % c
-        if c % group_size == 0 and pad <= min(c // 4, K // 10):
+        if c % group_size == 0 and pad <= min(c // 2, K // 8):
             return c, pad
     raise ValueError(f"no superblock for K={K}, group={group_size}")
 

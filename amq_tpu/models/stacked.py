@@ -470,6 +470,8 @@ def _apply_mlp_merged(model: StackedModel, i, h, compute_dtype,
     Kp_d = dn.packed.shape[1] * 32 // dn.nbits
     if inter_real % 128 != 0 or inter_real + Kp_d > Np_gu:
         return None
+    if gu.superblock // gu.group_size < 8:
+        return None   # 4-D meta view would be a layout copy (_meta_tile)
     from ..ops.quant_matmul import quant_matmul_mlp_indexed
     si = _stack_index(model, i)
     out = quant_matmul_mlp_indexed(

@@ -242,9 +242,36 @@ def _dequant_tile(w_blk, s_blk, z_blk, nbits, group_size, T, bn, acc_dtype):
             * s.astype(jnp.float32)).astype(acc_dtype)
 
 
+def _meta_tile(ref, k, T, meta_full, stacked):
+    """This k-tile's [T, bn] scale/zero slice.
+
+    ``meta_full=False``: the wrapper pre-reshaped meta to a 4-D
+    [(L,) n_ktiles, T, N] view and the BlockSpec delivers exactly one
+    tile.  That view is only layout-free when T is a whole number of
+    sublane tiles — for T < 8 XLA materializes a sublane-padded COPY of
+    the whole array inside every scan cond (~45 us/layer/array measured
+    on Llama-2-13B's sb=512 down-proj).  ``meta_full=True`` instead
+    blocks the ORIGINAL [K/g, N] rows whole per n-tile (frozen across k,
+    one DMA) and row-slices the tile dynamically in VMEM.
+    """
+    if not meta_full:
+        return ref[0, 0] if stacked else ref[0]
+    # the whole [K/g, bn] block is VMEM-resident (DMA'd once per n-tile).
+    # Mosaic can't prove a k*T ref offset 8-aligned for T < 8, can't
+    # lower value dynamic_slice, and can't rotate 16-bit data — a
+    # one-hot MXU matmul gathers the T rows exactly (1.0 * v in f32)
+    blk = ref[0] if stacked else ref[:]
+    Kg = blk.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, Kg), 0) + k * T
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, Kg), 1)
+    onehot = (rows == cols).astype(blk.dtype)
+    return jnp.dot(onehot, blk,
+                   preferred_element_type=jnp.float32).astype(blk.dtype)
+
+
 def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
                 *, nbits, group_size, groups_per_tile, acc_dtype,
-                single_m, m_real=None):
+                single_m, m_real=None, meta_full=False):
     # grid order (n, k, m): m innermost so one weight tile's dequantized
     # form (persisted in scratch) serves every m tile — at prefill/eval
     # shapes the old (m, n, k) order re-unpacked each weight tile per m
@@ -258,16 +285,15 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    # scale/zero arrive pre-reshaped [n_ktiles, T, N] with a unit-block
-    # leading dim (a dynamic row slice of [K/g, N] is not provably
-    # sublane-aligned for T < 8)
     T = groups_per_tile
     bn = o_ref.shape[1]
+    s_blk = _meta_tile(s_ref, k, T, meta_full, stacked=False)
+    z_blk = _meta_tile(z_ref, k, T, meta_full, stacked=False)
 
     if single_m and acc_dtype == jnp.bfloat16:
         # serving GEMV: block-diagonal grouped path (extraction-only VPU
         # cost); the f32 eval path keeps the exact fma dequant below
-        y = _gemv_blockdiag(x_ref[:], w_ref[:], s_ref[0], z_ref[0],
+        y = _gemv_blockdiag(x_ref[:], w_ref[:], s_blk, z_blk,
                             nbits, group_size, T, bn,
                             acc_dtype=acc_dtype, m_real=m_real)
         o_ref[:] += y.astype(o_ref.dtype)
@@ -276,7 +302,7 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
         # one m tile: the dequantized tile is used exactly once — feed it
         # to the dot as a VALUE (a scratch store+reload serializes unpack
         # against the dot; measured 25% slower, scripts/bisect8.py)
-        w = _dequant_tile(w_ref[:], s_ref[0], z_ref[0], nbits,
+        w = _dequant_tile(w_ref[:], s_blk, z_blk, nbits,
                           group_size, T, bn, acc_dtype
                           ).reshape(T * group_size, bn)
         o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype), w,
@@ -286,7 +312,7 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
 
     @pl.when(m == 0)
     def _():
-        deq = _dequant_tile(w_ref[:], s_ref[0], z_ref[0], nbits,
+        deq = _dequant_tile(w_ref[:], s_blk, z_blk, nbits,
                             group_size, T, bn, acc_dtype)
         scratch[:] = deq.reshape(T * group_size, bn)
     w = scratch[:]
@@ -347,13 +373,24 @@ def _quant_matmul_packed(
     grid = (Np // bn, Kp // bk, x.shape[0] // bm)
 
     single_m = grid[2] == 1 and bm <= 8
+    # T < 8: ship meta as whole [K/g, N] column blocks (see _meta_tile)
+    meta_full = groups_per_tile < 8
     kernel = functools.partial(
         _qmm_kernel, nbits=nbits, group_size=g,
         groups_per_tile=groups_per_tile, acc_dtype=acc_dtype,
-        single_m=single_m, m_real=M if single_m else None)
+        single_m=single_m, m_real=M if single_m else None,
+        meta_full=meta_full)
 
-    scale3 = scale.reshape(Kp // bk, groups_per_tile, Np)
-    zero3 = zero.reshape(Kp // bk, groups_per_tile, Np)
+    if meta_full:
+        scale3, zero3 = scale, zero                 # [K/g, N]
+        meta_spec = pl.BlockSpec((Kp // g, bn), lambda n, k, m: (0, n),
+                                 memory_space=pltpu.VMEM)
+    else:
+        scale3 = scale.reshape(Kp // bk, groups_per_tile, Np)
+        zero3 = zero.reshape(Kp // bk, groups_per_tile, Np)
+        meta_spec = pl.BlockSpec((1, groups_per_tile, bn),
+                                 lambda n, k, m: (k, 0, n),
+                                 memory_space=pltpu.VMEM)
     scratch_shape = (
         _DUMMY_SCRATCH
         if single_m and acc_dtype == jnp.bfloat16
@@ -367,10 +404,8 @@ def _quant_matmul_packed(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_per_tile, bn), lambda n, k, m: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, groups_per_tile, bn), lambda n, k, m: (k, 0, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, groups_per_tile, bn), lambda n, k, m: (k, 0, n),
-                         memory_space=pltpu.VMEM),
+            meta_spec,
+            meta_spec,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda n, k, m: (m, n),
                                memory_space=pltpu.VMEM),
@@ -391,7 +426,7 @@ def _quant_matmul_packed(
 
 def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
                         *, nbits, group_size, groups_per_tile, acc_dtype,
-                        single_m, m_real=None):
+                        single_m, m_real=None, meta_full=False):
     del idx_ref  # consumed by the index maps
     k = pl.program_id(1)
     m = pl.program_id(2)
@@ -402,18 +437,20 @@ def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
 
     T = groups_per_tile
     bn = o_ref.shape[1]
+    s_blk = _meta_tile(s_ref, k, T, meta_full, stacked=True)
+    z_blk = _meta_tile(z_ref, k, T, meta_full, stacked=True)
 
     if single_m and acc_dtype == jnp.bfloat16:
         # serving GEMV: block-diagonal grouped path (extraction-only VPU
         # cost); the f32 eval path keeps the exact fma dequant below
-        y = _gemv_blockdiag(x_ref[:], w_ref[0], s_ref[0, 0], z_ref[0, 0],
+        y = _gemv_blockdiag(x_ref[:], w_ref[0], s_blk, z_blk,
                             nbits, group_size, T, bn,
                             acc_dtype=acc_dtype, m_real=m_real)
         o_ref[:] += y.astype(o_ref.dtype)
         return
     if single_m or pl.num_programs(2) == 1:
         # one m tile -> dequant feeds the dot as a value (see _qmm_kernel)
-        w = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
+        w = _dequant_tile(w_ref[0], s_blk, z_blk, nbits,
                           group_size, T, bn, acc_dtype
                           ).reshape(T * group_size, bn)
         o_ref[:] += jnp.dot(x_ref[:].astype(acc_dtype), w,
@@ -423,7 +460,7 @@ def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
 
     @pl.when(m == 0)
     def _():
-        deq = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
+        deq = _dequant_tile(w_ref[0], s_blk, z_blk, nbits,
                             group_size, T, bn, acc_dtype)
         scratch[:] = deq.reshape(T * group_size, bn)
     w = scratch[:]
@@ -484,13 +521,21 @@ def quant_matmul_indexed(
     grid = (Np // bn, Kp // bk, x.shape[0] // bm)
 
     single_m = grid[2] == 1 and bm <= 8
+    meta_full = T < 8        # see _meta_tile
     kernel = functools.partial(
         _qmm_kernel_stacked, nbits=nbits, group_size=g,
         groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m,
-        m_real=M if single_m else None)
+        m_real=M if single_m else None, meta_full=meta_full)
 
-    scale4 = scale_stack.reshape(L, Kp // bk, T, Np)
-    zero4 = zero_stack.reshape(L, Kp // bk, T, Np)
+    if meta_full:
+        scale4, zero4 = scale_stack, zero_stack     # [L, K/g, N]
+        meta_spec = pl.BlockSpec((1, Kp // g, bn),
+                                 lambda n, k, m, idx: (idx[0], 0, n))
+    else:
+        scale4 = scale_stack.reshape(L, Kp // bk, T, Np)
+        zero4 = zero_stack.reshape(L, Kp // bk, T, Np)
+        meta_spec = pl.BlockSpec((1, 1, T, bn),
+                                 lambda n, k, m, idx: (idx[0], k, 0, n))
     idx = jnp.asarray(layer, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -500,10 +545,8 @@ def quant_matmul_indexed(
             pl.BlockSpec((bm, bk), lambda n, k, m, idx: (m, k)),
             pl.BlockSpec((1, rows_per_tile, bn),
                          lambda n, k, m, idx: (idx[0], k, n)),
-            pl.BlockSpec((1, 1, T, bn),
-                         lambda n, k, m, idx: (idx[0], k, 0, n)),
-            pl.BlockSpec((1, 1, T, bn),
-                         lambda n, k, m, idx: (idx[0], k, 0, n)),
+            meta_spec,
+            meta_spec,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda n, k, m, idx: (m, n)),
         scratch_shapes=[_DUMMY_SCRATCH
@@ -530,7 +573,7 @@ def quant_matmul_indexed(
 def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
                        scratch,
                        *, nbits, group_size, groups_per_tile, acc_dtype,
-                       single_m, m_real=None):
+                       single_m, m_real=None, meta_full=False):
     """down-proj with the SwiGLU activation fused into the x prologue:
     x_tile = silu(gate_tile) * up_tile computed in-kernel, removing the
     elementwise XLA op (and pipeline boundary) between gate/up and down."""
@@ -544,6 +587,8 @@ def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
 
     T = groups_per_tile
     bn = o_ref.shape[1]
+    s_blk = _meta_tile(s_ref, k, T, meta_full, stacked=True)
+    z_blk = _meta_tile(z_ref, k, T, meta_full, stacked=True)
 
     g = g_ref[:].astype(jnp.float32)
     x = (g * jax.nn.sigmoid(g) * u_ref[:].astype(jnp.float32)).astype(acc_dtype)
@@ -551,14 +596,14 @@ def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
     if single_m and acc_dtype == jnp.bfloat16:
         # serving GEMV: block-diagonal grouped path (extraction-only VPU
         # cost); the f32 eval path keeps the exact fma dequant below
-        y = _gemv_blockdiag(x, w_ref[0], s_ref[0, 0], z_ref[0, 0],
+        y = _gemv_blockdiag(x, w_ref[0], s_blk, z_blk,
                             nbits, group_size, T, bn,
                             acc_dtype=acc_dtype, m_real=m_real)
         o_ref[:] += y.astype(o_ref.dtype)
         return
     if single_m or pl.num_programs(2) == 1:
         # one m tile -> dequant feeds the dot as a value (see _qmm_kernel)
-        w = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
+        w = _dequant_tile(w_ref[0], s_blk, z_blk, nbits,
                           group_size, T, bn, acc_dtype
                           ).reshape(T * group_size, bn)
         o_ref[:] += jnp.dot(x.astype(acc_dtype), w,
@@ -568,7 +613,7 @@ def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
 
     @pl.when(m == 0)
     def _():
-        deq = _dequant_tile(w_ref[0], s_ref[0, 0], z_ref[0, 0], nbits,
+        deq = _dequant_tile(w_ref[0], s_blk, z_blk, nbits,
                             group_size, T, bn, acc_dtype)
         scratch[:] = deq.reshape(T * group_size, bn)
     w = scratch[:]
@@ -626,12 +671,20 @@ def quant_matmul_swiglu_indexed(
     grid = (Np // bn, Kp // bk, gate.shape[0] // bm)
 
     single_m = grid[2] == 1 and bm <= 8
+    meta_full = T < 8        # see _meta_tile
     kernel = functools.partial(
         _qmm_kernel_swiglu, nbits=nbits, group_size=g,
         groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m,
-        m_real=M if single_m else None)
-    scale4 = scale_stack.reshape(L, Kp // bk, T, Np)
-    zero4 = zero_stack.reshape(L, Kp // bk, T, Np)
+        m_real=M if single_m else None, meta_full=meta_full)
+    if meta_full:
+        scale4, zero4 = scale_stack, zero_stack     # [L, K/g, N]
+        meta_spec = pl.BlockSpec((1, Kp // g, bn),
+                                 lambda n, k, m, idx: (idx[0], 0, n))
+    else:
+        scale4 = scale_stack.reshape(L, Kp // bk, T, Np)
+        zero4 = zero_stack.reshape(L, Kp // bk, T, Np)
+        meta_spec = pl.BlockSpec((1, 1, T, bn),
+                                 lambda n, k, m, idx: (idx[0], k, 0, n))
     idx = jnp.asarray(layer, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -642,10 +695,8 @@ def quant_matmul_swiglu_indexed(
             pl.BlockSpec((bm, bk), lambda n, k, m, idx: (m, k)),
             pl.BlockSpec((1, rows_per_tile, bn),
                          lambda n, k, m, idx: (idx[0], k, n)),
-            pl.BlockSpec((1, 1, T, bn),
-                         lambda n, k, m, idx: (idx[0], k, 0, n)),
-            pl.BlockSpec((1, 1, T, bn),
-                         lambda n, k, m, idx: (idx[0], k, 0, n)),
+            meta_spec,
+            meta_spec,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda n, k, m, idx: (m, n)),
         scratch_shapes=[_DUMMY_SCRATCH

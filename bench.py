@@ -87,28 +87,45 @@ def random_stacked_model(cfg, rng) -> StackedModel:
     """Synthetic packed model, generated ON DEVICE (host->device transfer of
     ~9 GB over the axon tunnel takes tens of minutes; jax.random on-chip
     takes seconds).  Bit assignment: layer-uniform 2/3/4 cycle -> mean
-    exactly 3 bits, q/k/v and gate/up groups share bits (fused kernels)."""
+    exactly 3 bits, q/k/v and gate/up groups share bits (fused kernels).
+
+    Stacks are generated directly in the compact merged-container form
+    (models/stacked.merge_containers layout): one stack per DISTINCT
+    container width holding exactly its layers — building all three full
+    per-bit stacks first would peak at (2+4+4)/8 bytes/weight and OOM
+    13B-class models on one chip before compaction."""
     L, H = cfg.num_layers, cfg.hidden_size
     site_shapes = _bench_sites(cfg)
+
+    # layer i uses BITS_RANGE[i % n]; compact per-container stacks
+    containers = sorted(set(CONTAINER.values()))
+    layer_bits = [BITS_RANGE[i % len(BITS_RANGE)] for i in range(L)]
+    layer_cont = [containers.index(CONTAINER[b]) for b in layer_bits]
+    slots = np.zeros(L, np.int32)
+    members = [[] for _ in containers]
+    for i, c in enumerate(layer_cont):
+        slots[i] = len(members[c])
+        members[c].append(i)
 
     @jax.jit
     def gen(key):
         out = {}
         for name, (N, K) in site_shapes.items():
             Np, Kp = _padded_site(N, K)
-            for b in BITS_RANGE:
+            for ci, w in enumerate(containers):
+                Lc = len(members[ci])
                 key, k1, k2, k3 = jax.random.split(key, 4)
-                rows = Kp * CONTAINER[b] // 32
-                out[f"{name}/{b}/packed"] = jax.random.bits(
-                    k1, (L, rows, Np), jnp.uint32)
+                rows = Kp * w // 32
+                out[f"{name}/{ci}/packed"] = jax.random.bits(
+                    k1, (Lc, rows, Np), jnp.uint32)
                 # bf16 scale/zero: halves the per-group metadata stream
                 meta = getattr(jnp, os.environ.get("BENCH_META",
                                                    "bfloat16"))
-                out[f"{name}/{b}/scale"] = (jax.random.uniform(
-                    k2, (L, Kp // GROUP, Np), jnp.float32) * 0.02
+                out[f"{name}/{ci}/scale"] = (jax.random.uniform(
+                    k2, (Lc, Kp // GROUP, Np), jnp.float32) * 0.02
                 ).astype(meta)
-                out[f"{name}/{b}/zero"] = (jax.random.uniform(
-                    k3, (L, Kp // GROUP, Np), jnp.float32) * (2**b - 1)
+                out[f"{name}/{ci}/zero"] = (jax.random.uniform(
+                    k3, (Lc, Kp // GROUP, Np), jnp.float32) * (2**w - 1)
                 ).astype(meta)
         key, k1, k2 = jax.random.split(key, 3)
         out["embed"] = (jax.random.normal(k1, (cfg.vocab_size, H), jnp.float32)
@@ -135,15 +152,14 @@ def random_stacked_model(cfg, rng) -> StackedModel:
     for name, (N, K) in site_shapes.items():
         sb, _ = pick_superblock_padded(K, GROUP)
         sites[name] = tuple(
-            StackedQuant(packed=arrs[f"{name}/{b}/packed"],
-                         scale=arrs[f"{name}/{b}/scale"],
-                         zero=arrs[f"{name}/{b}/zero"],
-                         nbits=CONTAINER[b], group_size=GROUP, shape=(N, K),
+            StackedQuant(packed=arrs[f"{name}/{ci}/packed"],
+                         scale=arrs[f"{name}/{ci}/scale"],
+                         zero=arrs[f"{name}/{ci}/zero"],
+                         nbits=w, group_size=GROUP, shape=(N, K),
                          superblock=sb)
-            for b in BITS_RANGE)
+            for ci, w in enumerate(containers))
         biases[name] = None
-        select[name] = jnp.asarray(
-            [i % len(BITS_RANGE) for i in range(L)], jnp.int32)
+        select[name] = jnp.asarray(layer_cont, jnp.int32)
 
     head_qt = None
     if HEAD_BITS:
@@ -160,13 +176,8 @@ def random_stacked_model(cfg, rng) -> StackedModel:
         input_norm=jnp.ones((L, H), jnp.bfloat16),
         post_norm=jnp.ones((L, H), jnp.bfloat16),
         sites=sites, biases=biases, select=select,
-        bits_range=BITS_RANGE, num_layers=L, uniform_select=True)
-    if len(set(CONTAINER.values())) < len(BITS_RANGE):
-        # same-width stacks (3-bit in nibble containers + native 4-bit)
-        # collapse into one switch branch — separate identical-width
-        # branches cost ~1 ms/token in cross-layer pipelining
-        from amq_tpu.models.stacked import merge_containers
-        model = merge_containers(model)
+        bits_range=tuple(containers), num_layers=L, uniform_select=True,
+        slots=jnp.asarray(slots))
     return model
 
 
