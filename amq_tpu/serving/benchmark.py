@@ -26,9 +26,17 @@ from .engine import Engine
 
 
 def device_peak_gib() -> float:
+    """Peak device bytes (reference: torch.cuda.max_memory_allocated,
+    utils/speed.py:243-244).  The axon backend returns no memory_stats —
+    fall back to live on-device array bytes (a lower bound of peak)."""
     try:
         stats = jax.local_devices()[0].memory_stats()
-        return stats.get("peak_bytes_in_use", 0) / 1024**3
+        if stats:
+            return stats.get("peak_bytes_in_use", 0) / 1024**3
+    except Exception:
+        pass
+    try:
+        return sum(a.nbytes for a in jax.live_arrays()) / 1024**3
     except Exception:
         return float("nan")
 
