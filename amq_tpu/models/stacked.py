@@ -95,10 +95,16 @@ FUSED_GROUPS = {
 
 
 def _pick_lane_pad(n_total: int) -> int:
-    """Zero-pad the lane count to the largest decode n-tile whose pad
-    stays bounded (pad bytes are streamed: <=1/10 for the 2048 tile)."""
-    pad = -n_total % 2048
-    return pad if pad <= n_total // 10 else 0
+    """Zero-pad the lane count so the decode n-tile stays big: per-grid-
+    step overhead (~0.35 us), not bytes, limits small-tile sites — on
+    Qwen2.5-7B the unpadded 4608/3584-lane qkv/o sites fell to bn=512
+    (63/49 grid steps, 31% of their byte roofline).  Pad bytes are
+    streamed, so the pad is bounded at <= n/7 per tile size."""
+    for mult in (2048, 1024):
+        pad = -n_total % mult
+        if pad <= n_total // 7:
+            return pad
+    return 0
 
 
 def _arch_fusable(arch: Optional[Dict], L: int) -> bool:
