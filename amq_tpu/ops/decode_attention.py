@@ -126,12 +126,17 @@ def decode_attention_indexed(
     n_t = T // Tt
     # KV-head block: bigger blocks = fewer grid cells / larger DMAs (the
     # per-cell overhead dominates at slot-batched B); capped so the K+V
-    # double-buffered tiles stay within ~8 MB of VMEM
+    # double-buffered tiles stay within ~8 MB of VMEM.  Blocks are
+    # divisors of Hkv that are sublane-friendly (multiples of 8, or all
+    # of a small-GQA Hkv).
+    def _vmem_ok(h):
+        return h * Tt * hd * 2 * 2 * 2 <= 8 * 2**20
     Hb = Hkv
-    while Hb > 8 and (Hb % 8 or Hb * Tt * hd * 2 * 2 * 2 > 8 * 2**20):
-        Hb //= 2
-    if Hkv % Hb:
-        Hb = 8 if Hkv % 8 == 0 else Hkv
+    if not _vmem_ok(Hb) or (Hkv > 8 and Hkv % 8):
+        Hb = next((h for h in range(Hkv, 0, -1)
+                   if Hkv % h == 0 and h % 8 == 0 and _vmem_ok(h)), None)
+        if Hb is None:
+            Hb = next(h for h in range(min(Hkv, 8), 0, -1) if Hkv % h == 0)
 
     offs = jnp.asarray(offsets, jnp.int32).reshape(B)
     idx = jnp.asarray(layer, jnp.int32).reshape(1)

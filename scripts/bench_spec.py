@@ -8,6 +8,15 @@ gives a meaningful argmax-chain overlap even with random init.
 
 Prints plain-decode tok/s, speculative tok/s, acceptance rate, for
 gamma in {2, 4}.
+
+Verdict on this hardware (v5e, measured): speculation has no speed
+headroom at 7B-class models with these kernels — the all-2-bit draft
+decodes at ~7.3 ms/token (VPU-extraction-bound) vs ~5.9 for the mixed
+avg-3-bit target itself (docs/ROADMAP.md per-bit attribution), so
+gamma draft steps cost MORE than gamma target steps.  Speculative
+decoding here is a correctness-tested capability (lossless greedy,
+tests/test_speculative.py), not a perf feature; it would pay only with
+a structurally smaller draft model.
 """
 import os, sys, time
 
