@@ -91,21 +91,35 @@ def setup_jax(args):
 
 
 def load_model(args) -> Tuple[Any, Dict[str, Any]]:
-    """(cfg, dense params) from HF dir or random init."""
+    """(cfg, dense params) from HF dir or random init.
+
+    Dense params are HOST-resident bf16 (the reference loads the model
+    fp16 on CPU, utils/func.py get_hfmodel): at 7B the dense pytree
+    (13.5 GB) and the three quantization proxies (~7.3 GB) cannot
+    coexist in one chip's HBM — the Evaluator stages dense onto the
+    device only while caching FP16 logits, then frees it.
+    """
     import jax
+    import jax.numpy as jnp
     from ..models import get_config, init_params
     from ..models.hf import config_from_hf, load_hf_params
 
+    cpu = jax.devices("cpu")[0]
     if args.model_path and os.path.isdir(args.model_path):
         cfg = config_from_hf(args.model_path)
-        params = load_hf_params(args.model_path, cfg)
+        with jax.default_device(cpu):
+            params = load_hf_params(args.model_path, cfg,
+                                    dtype=jnp.bfloat16)
         return cfg, params
     cfg = get_config(args.model_name)
     if not args.synthetic:
         raise SystemExit(
             f"no checkpoint at {args.model_path!r}; pass --synthetic to run "
             "with random weights")
-    return cfg, init_params(cfg, jax.random.PRNGKey(args.seed))
+    with jax.default_device(cpu):
+        params = init_params(cfg, jax.random.PRNGKey(args.seed),
+                             dtype=jnp.bfloat16)
+    return cfg, params
 
 
 def load_tokens(args, cfg, train: bool = True) -> np.ndarray:

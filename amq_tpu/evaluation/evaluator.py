@@ -36,6 +36,34 @@ from ..models import llama, transform
 from . import metrics
 
 
+def _dequantize_layers_host(params: Dict[str, Any],
+                            compute_dtype) -> Dict[str, Any]:
+    """Replace packed QuantLinear layers with host-resident fake-quant
+    DenseLinear (layer-wise, so the dense copy never accumulates on
+    device).  No-op for already-dense pytrees."""
+    from ..core.quantize import dequantize
+    from ..models.linear import DenseLinear, QuantLinear
+
+    cpu = jax.devices("cpu")[0]
+    if not any(isinstance(layer[n], QuantLinear)
+               for layer in params["layers"] for n in layer
+               if n in mconfig.LINEAR_NAMES):
+        return params
+    out = dict(params)
+    new_layers = []
+    for layer in params["layers"]:
+        nl = dict(layer)
+        for n in mconfig.LINEAR_NAMES:
+            p = layer[n]
+            if isinstance(p, QuantLinear):
+                w = dequantize(p.qt, dtype=compute_dtype)
+                nl[n] = DenseLinear(weight=jax.device_put(w, cpu),
+                                    bias=p.bias)
+        new_layers.append(nl)
+    out["layers"] = new_layers
+    return out
+
+
 class Evaluator:
     def __init__(
         self,
@@ -84,46 +112,64 @@ class Evaluator:
         # jitted once; re-used across every arch eval (a fresh jax.jit per
         # call would retrace each of the ~10k search evaluations)
         self._fwd = jax.jit(self._forward_logits)
+        # dense logit-cache pass: bf16 output (cast fused into the head
+        # matmul) — the f32 [B,S,V] buffer (2.1 GB at 8x2048x32k) plus
+        # the 13.5 GB bf16 dense stack overflows a 16 GB chip
+        self._fwd_cache = jax.jit(
+            lambda p, t: self._forward_logits(p, t,
+                                              logits_dtype=jnp.bfloat16))
         # per-sample losses [B]: the ragged last batch is padded to the
         # full batch shape (no retrace, mesh-divisible) and the pad rows'
-        # losses are dropped host-side by valid-count weighting
+        # losses are dropped host-side by valid-count weighting.
+        # The JSD is chunked over sequence rows once one f32 [B, S, V]
+        # buffer would exceed 1 GiB: the unchunked step keeps ~5 such
+        # buffers live, which OOMs a 16 GB chip next to the three 7B
+        # proxy stacks (AMQ_JSD_CHUNK=0 forces the fused step, >0 sets
+        # the chunk row count).
+        seqlen = max((int(t.shape[1]) for t in self.datasets.values()),
+                     default=0)
+        logit_gib = (self.batch_size * seqlen * cfg.vocab_size * 4) / 2**30
+        jsd_chunk = int(os.environ.get(
+            "AMQ_JSD_CHUNK", "256" if logit_gib > 1.0 else "0"))
         self._loss_step = jax.jit(
             lambda p, t, d: metrics.jsd_shifted_per_sample(
-                self._forward_logits(p, t), d))
+                self._forward_logits(p, t), d, chunk=jsd_chunk))
         self._ppl_step = jax.jit(
             lambda p, t: metrics.cross_entropy_shifted_per_sample(
                 self._forward_logits(p, t), t))
 
         if search:
             assert dense_params is not None or proxies is not None
+            from ..models import stacked as stacked_mod
+            self._stacked = stacked_mod
+            # dense logits cache (host, fp16) — reference caches on device
+            # (evaluator.py:46-52).  Cached BEFORE the proxies are built
+            # and the dense copy freed right after: at 7B the bf16 dense
+            # stack (13.5 GB) and the three proxy stacks (~7.3 GB) cannot
+            # coexist in one chip's HBM
+            self.dense_logits: Dict[str, np.ndarray] = {}
+            if dense_params is not None:
+                self._cache_dense_logits(dense_params)
             if proxies is None:
                 proxies = [
                     transform.quantize_model(dense_params, cfg, b, group_size)
                     for b in self.bits_range
                 ]
+                # search mode never touches the dense model again
+                self.dense_params = None
             # scan-over-layers switch model: one compact program regardless
             # of depth (an unrolled per-layer forward exceeds the remote
             # compiler's program-size limit at 7B scale) and selector-only
             # arch swaps (no retrace across ~10k search evaluations)
-            from ..models import stacked as stacked_mod
-            self._stacked = stacked_mod
             self.switch_params = stacked_mod.stack_proxies(
                 proxies, self.bits_range, fuse="never")
-            # dense logits cache (host, fp16) — reference caches on device
-            # (evaluator.py:46-52); host keeps HBM for the working model
-            self.dense_logits: Dict[str, np.ndarray] = {}
-            if dense_params is not None:
-                dense_stacked = llama.stack_dense(dense_params)
-                for name, toks in self.datasets.items():
-                    self.dense_logits[name] = self._batched_logits(
-                        dense_stacked, toks)
         else:
             assert dense_params is not None
             self.model_params = dense_params
 
     # -- low level ---------------------------------------------------------
 
-    def _forward_logits(self, params, tokens):
+    def _forward_logits(self, params, tokens, logits_dtype=jnp.float32):
         from ..models.stacked import StackedModel, forward_stacked
         if isinstance(params, StackedModel):
             logits, _ = forward_stacked(params, self.cfg, tokens,
@@ -132,12 +178,13 @@ class Evaluator:
             # scan-over-layers dense forward: O(1) program size in depth,
             # required for the FP16 logit cache at 7B+ (the unrolled
             # forward exceeds the remote compiler's program-size limit)
-            logits, _ = llama.forward_dense(params, self.cfg, tokens,
-                                            compute_dtype=self.compute_dtype)
+            return llama.forward_dense(params, self.cfg, tokens,
+                                       compute_dtype=self.compute_dtype,
+                                       logits_dtype=logits_dtype)[0]
         else:
             logits, _ = llama.forward(params, self.cfg, tokens,
                                       compute_dtype=self.compute_dtype)
-        return logits
+        return logits.astype(logits_dtype)
 
     def _shard_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
         if self.mesh is None:
@@ -146,12 +193,12 @@ class Evaluator:
             self.mesh, jax.sharding.PartitionSpec("data", None))
         return jax.device_put(tokens, sharding)
 
-    def _batches(self, tokens: np.ndarray):
+    def _batches(self, tokens: np.ndarray, batch_size: Optional[int] = None):
         """Yield ``(batch [B, S], n_valid)`` with the last batch padded up
         to the fixed B (repeat of the final row).  A ragged final batch
         would both retrace the jitted step and break the 'data'-axis
         sharding when ``N % mesh_size != 0``."""
-        B = self.batch_size
+        B = batch_size or self.batch_size
         if self.mesh is not None:
             d = self.mesh.devices.size
             B = max(B, d) // d * d
@@ -163,12 +210,101 @@ class Evaluator:
                 batch = np.concatenate([batch, pad], axis=0)
             yield batch, n_valid
 
+    def _chunked_dense_pass(self, params, datasets: Dict[str, np.ndarray],
+                            want: str) -> Dict[str, np.ndarray]:
+        """Run a dense-pytree forward over every dataset, staging the model
+        onto the device in layer CHUNKS bounded by ~6 GB
+        (AMQ_DENSE_CHUNK_GIB); ``want`` = 'logits' (fp16 host array) or
+        'ce' (per-sample shifted cross-entropy).
+
+        The full 7B bf16 stack (13.5 GB) leaves no activation headroom on
+        a 16 GB chip (reference: multi-GPU block placement,
+        utils/func.py:79-98).  Activations for all batches stay on device
+        between chunks ([B,S,H] bf16 — 0.27 GB for 16x2048 at 7B), so the
+        per-chunk weight stream happens once per chunk, not per batch.
+        Per-sample values are batch/chunk-invariant: identical to the
+        single-pass forward (tested, tests/test_evaluation.py).
+        """
+        layers = params["layers"]
+        L = len(layers)
+        layer_bytes = sum(
+            int(np.prod(np.asarray(layers[0][n].weight.shape)))
+            * layers[0][n].weight.dtype.itemsize
+            for n in mconfig.LINEAR_NAMES)
+        budget = float(os.environ.get("AMQ_DENSE_CHUNK_GIB", "6")) * 2**30
+        per = max(1, int(budget // max(layer_bytes, 1)))
+
+        emb = jax.jit(lambda e, t: e[t].astype(self.compute_dtype))
+        chunk_fn = jax.jit(
+            lambda m, x: llama.forward_dense_chunk(
+                m, self.cfg, x, compute_dtype=self.compute_dtype))
+
+        def head_logits(fn_, hd_, emb_, x):
+            h = llama.rms_norm(x, fn_, self.cfg.rms_norm_eps)
+            head = hd_ if hd_ is not None else emb_
+            return jnp.dot(
+                h, head.T.astype(self.compute_dtype),
+                preferred_element_type=jnp.float32)
+
+        head_lg = jax.jit(
+            lambda fn_, hd_, emb_, x:
+            head_logits(fn_, hd_, emb_, x).astype(jnp.bfloat16))
+        head_ce = jax.jit(
+            lambda fn_, hd_, emb_, x, t:
+            metrics.cross_entropy_shifted_per_sample(
+                head_logits(fn_, hd_, emb_, x), t))
+
+        B = min(self.batch_size, 4) if self.mesh is None else None
+        embed_dev = jnp.asarray(params["embed"])
+        acts: Dict[str, list] = {}
+        toks_dev: Dict[str, list] = {}
+        valid: Dict[str, list] = {}
+        for name, toks in datasets.items():
+            acts[name], toks_dev[name], valid[name] = [], [], []
+            for batch, n_valid in self._batches(toks, batch_size=B):
+                tb = self._shard_tokens(jnp.asarray(batch))
+                acts[name].append(emb(embed_dev, tb))
+                toks_dev[name].append(tb)
+                valid[name].append(n_valid)
+
+        for lo in range(0, L, per):
+            chunk = llama.stack_dense(params, lo, min(lo + per, L))
+            for name in acts:
+                acts[name] = [chunk_fn(chunk, x) for x in acts[name]]
+            # free the chunk before staging the next one
+            del chunk
+
+        fn_dev = jnp.asarray(params["final_norm"])
+        head_w = params.get("lm_head")
+        head_dev = None if head_w is None else jnp.asarray(head_w.weight)
+        out: Dict[str, np.ndarray] = {}
+        for name in acts:
+            outs = []
+            for x, tb, n_valid in zip(acts[name], toks_dev[name],
+                                      valid[name]):
+                if want == "ce":
+                    v = head_ce(fn_dev, head_dev, embed_dev, x, tb)[:n_valid]
+                    outs.append(np.asarray(v))
+                else:
+                    lg = head_lg(fn_dev, head_dev, embed_dev, x)[:n_valid]
+                    outs.append(np.asarray(lg).astype(np.float16))
+            out[name] = np.concatenate(outs, axis=0)
+        return out
+
+    def _cache_dense_logits(self, params) -> None:
+        self.dense_logits = self._chunked_dense_pass(
+            params, self.datasets, want="logits")
+
     def _batched_logits(self, params, tokens: np.ndarray) -> np.ndarray:
+        # the dense pass runs at batch <= 4: its 13.5 GB bf16 weight
+        # stack leaves little activation/logit headroom on a 16 GB chip
+        # (per-sample logits are batch-invariant, so this is free)
+        B = min(self.batch_size, 4) if self.mesh is None else None
         outs = []
-        for batch, n_valid in self._batches(tokens):
+        for batch, n_valid in self._batches(tokens, batch_size=B):
             toks = self._shard_tokens(jnp.asarray(batch))
-            outs.append(np.asarray(self._fwd(params, toks),
-                                   np.float16)[:n_valid])
+            out = self._fwd_cache(params, toks)[:n_valid]
+            outs.append(np.asarray(out).astype(np.float16))
         return np.concatenate(outs, axis=0)
 
     # -- reference API -----------------------------------------------------
@@ -242,6 +378,17 @@ class Evaluator:
         return float(np.mean(np.concatenate(per_sample)))
 
     def eval_ppl(self, params, tokens: np.ndarray) -> float:
+        if isinstance(params, dict):
+            # final-mode PTQ output is a fake-quant DenseLinear pytree
+            # (host-resident at 7B+): chunked pass — the unrolled
+            # llama.forward both exceeds the remote compiler's program-
+            # size limit and needs the full dense stack on device.
+            # HQQ's packed output dequantizes layer-wise to host first
+            # (identical math: the packed forward dequantizes per use).
+            params = _dequantize_layers_host(params, self.compute_dtype)
+            ce = self._chunked_dense_pass(
+                params, {"_ppl": tokens}, want="ce")["_ppl"]
+            return float(np.exp(np.mean(ce)))
         per_sample = []
         jitted = self._ppl_step
         for batch, n_valid in self._batches(tokens):

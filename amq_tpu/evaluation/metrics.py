@@ -53,20 +53,58 @@ def jsd_shifted(lm_logits: jnp.ndarray, dense_logits: jnp.ndarray) -> jnp.ndarra
 
 
 def jsd_shifted_per_sample(lm_logits: jnp.ndarray,
-                           dense_logits: jnp.ndarray) -> jnp.ndarray:
+                           dense_logits: jnp.ndarray,
+                           chunk: int = 0) -> jnp.ndarray:
     """Per-sample JSD ``[B]`` (each = mean over that sample's token rows).
 
     Batched evaluation pads the ragged last batch; the caller weight-
     averages the per-sample values over the valid prefix, reproducing the
     reference's mean-per-sample accounting (utils/eval.py:40-44) exactly.
+
+    ``chunk > 0`` computes the divergence in sequence chunks of that many
+    rows via ``lax.map`` (serial, O(chunk) temporaries).  The unchunked
+    step keeps ~5 live f32 ``[B, S, V]`` buffers — >10 GB at 8x2048x32k —
+    which cannot coexist with the three 7B proxy stacks on a 16 GB chip.
     """
-    p_log = jax.nn.log_softmax(lm_logits[:, :-1, :].astype(jnp.float32), -1)
-    q_log = jax.nn.log_softmax(dense_logits[:, :-1, :].astype(jnp.float32), -1)
-    m = jnp.clip(0.5 * (jnp.exp(p_log) + jnp.exp(q_log)), 1e-7, None)
-    log_m = jnp.log(m)
-    kl_p = jnp.sum(jnp.exp(p_log) * (p_log - log_m), axis=-1)
-    kl_q = jnp.sum(jnp.exp(q_log) * (q_log - log_m), axis=-1)
-    return 0.5 * jnp.mean(kl_p + kl_q, axis=-1)
+    if chunk <= 0:
+        p_log = jax.nn.log_softmax(
+            lm_logits[:, :-1, :].astype(jnp.float32), -1)
+        q_log = jax.nn.log_softmax(
+            dense_logits[:, :-1, :].astype(jnp.float32), -1)
+        m = jnp.clip(0.5 * (jnp.exp(p_log) + jnp.exp(q_log)), 1e-7, None)
+        log_m = jnp.log(m)
+        kl_p = jnp.sum(jnp.exp(p_log) * (p_log - log_m), axis=-1)
+        kl_q = jnp.sum(jnp.exp(q_log) * (q_log - log_m), axis=-1)
+        return 0.5 * jnp.mean(kl_p + kl_q, axis=-1)
+
+    B, S, V = lm_logits.shape
+    chunk = min(chunk, S)
+    n_rows = S - 1                               # shifted next-token rows
+    n_chunk = -(-n_rows // chunk)
+
+    # chunks are sliced straight out of the [B, S, V] inputs (no global
+    # transpose/cast copy).  dynamic_slice clamps an out-of-range start to
+    # S - chunk, so the final chunk may re-read rows earlier chunks
+    # covered: a row contributes iff it is real (< n_rows) and not yet
+    # counted (>= this chunk's requested start).
+    def one_chunk(start):
+        astart = jnp.minimum(start, S - chunk)
+        p_c = jax.lax.dynamic_slice_in_dim(lm_logits, astart, chunk, axis=1)
+        q_c = jax.lax.dynamic_slice_in_dim(dense_logits, astart, chunk,
+                                           axis=1)
+        p_log = jax.nn.log_softmax(p_c.astype(jnp.float32), -1)
+        q_log = jax.nn.log_softmax(q_c.astype(jnp.float32), -1)
+        m = jnp.clip(0.5 * (jnp.exp(p_log) + jnp.exp(q_log)), 1e-7, None)
+        log_m = jnp.log(m)
+        kl_p = jnp.sum(jnp.exp(p_log) * (p_log - log_m), axis=-1)
+        kl_q = jnp.sum(jnp.exp(q_log) * (q_log - log_m), axis=-1)
+        idx = astart + jnp.arange(chunk, dtype=jnp.int32)
+        valid = ((idx >= start) & (idx < n_rows)).astype(jnp.float32)[None]
+        return jnp.sum((kl_p + kl_q) * valid, axis=-1)   # [B] row sums
+
+    starts = jnp.arange(n_chunk, dtype=jnp.int32) * chunk
+    sums = jax.lax.map(one_chunk, starts)
+    return 0.5 * jnp.sum(sums, axis=0) / n_rows
 
 
 def cross_entropy_shifted(lm_logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:

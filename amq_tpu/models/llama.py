@@ -411,9 +411,14 @@ class DenseStacked:
     num_layers: int = dataclasses.field(metadata=dict(static=True))
 
 
-def stack_dense(params: Dict[str, Any]) -> DenseStacked:
-    """Fold an init_params/load_hf_params pytree into a DenseStacked."""
-    layers = params["layers"]
+def stack_dense(params: Dict[str, Any], lo: int = 0,
+                hi: Optional[int] = None) -> DenseStacked:
+    """Fold an init_params/load_hf_params pytree into a DenseStacked.
+
+    ``lo:hi`` selects a contiguous layer chunk (the Evaluator's dense
+    logit-cache pass stages the 7B+ model onto the chip one chunk at a
+    time — the full bf16 stack alone nearly fills a 16 GB chip)."""
+    layers = params["layers"][lo:hi]
     L = len(layers)
     weights = {name: jnp.stack([layers[i][name].weight for i in range(L)])
                for name in LINEAR_NAMES}
@@ -431,12 +436,68 @@ def stack_dense(params: Dict[str, Any]) -> DenseStacked:
         weights=weights, biases=biases, num_layers=L)
 
 
+def forward_dense_chunk(
+    model: DenseStacked,                 # a stack_dense(params, lo, hi) chunk
+    cfg: ModelConfig,
+    x: jnp.ndarray,                      # [B, S, H] activations entering lo
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Layer scan only (no embed / final norm / head) over a dense chunk.
+
+    Full-sequence causal attention at offset 0 — the dense logit-cache
+    pass (Evaluator) runs the 7B+ model through the chip one layer chunk
+    at a time; chaining chunks reproduces forward_dense exactly."""
+    B, S, _ = x.shape
+    hd = cfg.head_dim_
+    positions = jnp.arange(S, dtype=jnp.int32)[None, :]
+    cos, sin = rope_cos_sin(cfg, positions, dtype=compute_dtype)
+    mask = _causal_mask(S, S, jnp.int32(0), cfg.sliding_window)
+
+    def proj(w, b, h):
+        y = jnp.dot(h.astype(compute_dtype), w.T.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        return y.astype(compute_dtype)
+
+    def layer_fn(x, xs):
+        lw, lb = xs["w"], xs["b"]
+        h = rms_norm(x, xs["input_norm"], cfg.rms_norm_eps)
+        q = proj(lw["self_attn.q_proj"], lb.get("self_attn.q_proj"), h)
+        k = proj(lw["self_attn.k_proj"], lb.get("self_attn.k_proj"), h)
+        v = proj(lw["self_attn.v_proj"], lb.get("self_attn.v_proj"), h)
+        q = apply_rope(q.reshape(B, S, cfg.num_heads, hd), cos, sin)
+        k = apply_rope(k.reshape(B, S, cfg.num_kv_heads, hd), cos, sin)
+        k = jnp.transpose(k, (0, 2, 1, 3))
+        v = jnp.transpose(v.reshape(B, S, cfg.num_kv_heads, hd), (0, 2, 1, 3))
+        att = attention(q, k, v, mask, jnp.int32(0), S, S, cfg,
+                        compute_dtype)
+        att = att.reshape(B, S, cfg.num_heads * hd)
+        x = x + proj(lw["self_attn.o_proj"], lb.get("self_attn.o_proj"), att)
+        h = rms_norm(x, xs["post_norm"], cfg.rms_norm_eps)
+        gate = proj(lw["mlp.gate_proj"], lb.get("mlp.gate_proj"), h)
+        up = proj(lw["mlp.up_proj"], lb.get("mlp.up_proj"), h)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(compute_dtype) * up
+        x = x + proj(lw["mlp.down_proj"], lb.get("mlp.down_proj"), act)
+        return x, None
+
+    xs = {
+        "w": model.weights,
+        "b": {n: b for n, b in model.biases.items() if b is not None},
+        "input_norm": model.input_norm,
+        "post_norm": model.post_norm,
+    }
+    x, _ = jax.lax.scan(layer_fn, x, xs)
+    return x
+
+
 def forward_dense(
     model: DenseStacked,
     cfg: ModelConfig,
     tokens: jnp.ndarray,                 # [B, S]
     cache: Optional[KVCache] = None,
     compute_dtype=jnp.float32,
+    logits_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Dense forward as a lax.scan over stacked layers (O(1) program size).
 
@@ -514,13 +575,16 @@ def forward_dense(
 
     x = rms_norm(x, model.final_norm, cfg.rms_norm_eps)
     head = model.lm_head if model.lm_head is not None else model.embed
+    # logits_dtype=bfloat16 keeps the [B,S,V] buffer half-size (the cast
+    # fuses into the head matmul) — needed for the 7B dense logit-cache
+    # pass to fit next to the 13.5 GB bf16 dense stack on one chip
     logits = jnp.dot(x, head.T.astype(compute_dtype),
                      preferred_element_type=jnp.float32)
 
     new_cache = None
     if has_cache:
         new_cache = KVCache(k=ys[0], v=ys[1], length=cache.length + S)
-    return logits.astype(jnp.float32), new_cache
+    return logits.astype(logits_dtype), new_cache
 
 
 # ---------------------------------------------------------------------------

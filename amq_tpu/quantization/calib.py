@@ -49,3 +49,21 @@ def accumulate_hessians(captures: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarr
         xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
         out[name] = jnp.dot(xf.T, xf, preferred_element_type=jnp.float32)
     return out
+
+
+def layer_to_host(layer: Dict[str, Any]) -> Dict[str, Any]:
+    """Move a block's fake-quant DenseLinear weights to host memory — at
+    7B+ the quantized output pytree (13.5 GB bf16) cannot accumulate on
+    device next to the calibration activations/Hessians.  Norms/biases
+    (tiny, usually already host refs from the input pytree) pass through."""
+    from ..models.linear import DenseLinear
+
+    cpu = jax.devices("cpu")[0]
+    out = {}
+    for k, v in layer.items():
+        if isinstance(v, DenseLinear):
+            out[k] = DenseLinear(weight=jax.device_put(v.weight, cpu),
+                                 bias=v.bias)
+        else:
+            out[k] = v
+    return out

@@ -197,13 +197,16 @@ def gptq_quantize_model(
                 err = float(jnp.mean((Q - p.weight) ** 2))
                 print(f"gptq block {li} {name}: bits={bits} mse={err:.3e}",
                       flush=True)
-        out_layers.append(new_layer)
 
         # 3) propagate through the quantized block (gptq.py:149-150)
         states = [calib.run_block(new_layer, cfg, x, cos, sin, mask,
                                   capture=False,
                                   compute_dtype=compute_dtype)[0]
                   for x in states]
+        # park the quantized block on host: at 7B the fake-quant output
+        # (13.5 GB bf16) cannot accumulate on device next to the
+        # calibration state (the chunked PPL pass restages it)
+        out_layers.append(calib.layer_to_host(new_layer))
 
     out["layers"] = out_layers
     return out

@@ -323,11 +323,12 @@ def owq_quantize_model(
             if progress:
                 print(f"owq block {li} {name}: bits={bits} "
                       f"n_out={n_out_dict[name]}", flush=True)
-        out_layers.append(new_layer)
         states = [calib.run_block(new_layer, cfg, x, cos, sin, mask,
                                   capture=False,
                                   compute_dtype=compute_dtype)[0]
                   for x in states]
+        # park the quantized block on host (see gptq_quantize_model)
+        out_layers.append(calib.layer_to_host(new_layer))
 
     out = dict(params)
     out["layers"] = out_layers

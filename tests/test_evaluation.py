@@ -58,6 +58,19 @@ def test_jsd_identity_is_zero():
     assert float(metrics.jsd_shifted(logits, logits)) == pytest.approx(0.0, abs=1e-6)
 
 
+@pytest.mark.parametrize("S,chunk", [(65, 16), (64, 16), (300, 256), (8, 16)])
+def test_jsd_chunked_matches_fused(S, chunk):
+    """Chunked JSD (the 7B-on-one-chip loss step) ≡ the fused step,
+    including a final chunk whose dynamic_slice start gets clamped."""
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(3, S, 37)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(3, S, 37)), jnp.float16)
+    want = metrics.jsd_shifted_per_sample(p, q)
+    got = metrics.jsd_shifted_per_sample(p, q, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_ppl_final_mode(setup):
     cfg, params, _ = setup
     toks = synthetic_tokens(cfg.vocab_size, n_sample=2, seqlen=64, seed=1)
@@ -154,3 +167,23 @@ def test_dense_device_cache_and_fp8(setup, monkeypatch):
     ev8.dense_cache_bytes = 1 << 30
     m8, _ = ev8.eval(arch)
     assert m8["synthetic"] == pytest.approx(base["synthetic"], abs=2e-3)
+
+
+def test_chunked_dense_cache_matches_full_forward(setup, monkeypatch):
+    """The layer-chunked dense logit-cache pass (7B+ on one chip) must
+    reproduce the single-pass forward's logits exactly."""
+    cfg, params, ev = setup
+    toks = ev.datasets["synthetic"]
+
+    monkeypatch.setenv("AMQ_DENSE_CHUNK_GIB", "1e-9")  # force 1 layer/chunk
+    ev_c = Evaluator(cfg, dense_params=params,
+                     datasets={"synthetic": toks}, batch_size=2)
+    import jax.numpy as jnp
+    from amq_tpu.models import llama
+    want = np.asarray(
+        llama.forward(params, cfg, jnp.asarray(toks),
+                      compute_dtype=jnp.float32)[0]).astype(np.float16)
+    got = ev_c.dense_logits["synthetic"]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), rtol=0, atol=2e-2)
