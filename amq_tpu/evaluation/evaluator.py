@@ -111,7 +111,6 @@ class Evaluator:
 
         # jitted once; re-used across every arch eval (a fresh jax.jit per
         # call would retrace each of the ~10k search evaluations)
-        self._fwd = jax.jit(self._forward_logits)
         # dense logit-cache pass: bf16 output (cast fused into the head
         # matmul) — the f32 [B,S,V] buffer (2.1 GB at 8x2048x32k) plus
         # the 13.5 GB bf16 dense stack overflows a 16 GB chip
@@ -131,9 +130,22 @@ class Evaluator:
         logit_gib = (self.batch_size * seqlen * cfg.vocab_size * 4) / 2**30
         jsd_chunk = int(os.environ.get(
             "AMQ_JSD_CHUNK", "256" if logit_gib > 1.0 else "0"))
+        # big-vocab models additionally (a) emit the student logits bf16
+        # (cast fused into the head matmul; JSD upcasts per chunk) and
+        # (b) cap the loss batch so one f32 [B, S, V] is <= 1 GiB — at
+        # 7B the three proxy stacks leave only a few GB of headroom
+        big = logit_gib > 1.0
+        self._loss_dtype = jnp.bfloat16 if big else jnp.float32
+        row_gib = (seqlen * cfg.vocab_size * 4) / 2**30
+        cap = max(1, int(1.0 // row_gib)) if row_gib > 0 else self.batch_size
+        if self.mesh is not None:
+            cap *= self.mesh.devices.size
+        self._loss_batch = min(self.batch_size, cap) if big \
+            else self.batch_size
         self._loss_step = jax.jit(
             lambda p, t, d: metrics.jsd_shifted_per_sample(
-                self._forward_logits(p, t), d, chunk=jsd_chunk))
+                self._forward_logits(p, t, logits_dtype=self._loss_dtype),
+                d, chunk=jsd_chunk))
         self._ppl_step = jax.jit(
             lambda p, t: metrics.cross_entropy_shifted_per_sample(
                 self._forward_logits(p, t), t))
@@ -151,8 +163,18 @@ class Evaluator:
             if dense_params is not None:
                 self._cache_dense_logits(dense_params)
             if proxies is None:
+                # factories: stack_proxies builds + frees one per-bit proxy
+                # at a time (three 7B proxies + their stacked copies would
+                # blow a 16 GB chip).  Scale/zero are stored bf16 — the
+                # reference's HQQLinear meta is half-precision too
+                # (hqq/core/quantize.py cast to compute dtype); f32 via
+                # AMQ_EVAL_META_DTYPE for exact-parity A/B runs.
+                meta = jnp.dtype(os.environ.get(
+                    "AMQ_EVAL_META_DTYPE", "bfloat16"))
+                dp = dense_params
                 proxies = [
-                    transform.quantize_model(dense_params, cfg, b, group_size)
+                    (lambda b=b: transform.quantize_model(
+                        dp, cfg, b, group_size, meta_dtype=meta))
                     for b in self.bits_range
                 ]
                 # search mode never touches the dense model again
@@ -255,7 +277,9 @@ class Evaluator:
                 head_logits(fn_, hd_, emb_, x), t))
 
         B = min(self.batch_size, 4) if self.mesh is None else None
-        embed_dev = jnp.asarray(params["embed"])
+        # explicit device_put: jnp.asarray would keep a committed host
+        # array host-resident and re-ship it on every jitted call
+        embed_dev = jax.device_put(params["embed"])
         acts: Dict[str, list] = {}
         toks_dev: Dict[str, list] = {}
         valid: Dict[str, list] = {}
@@ -274,9 +298,10 @@ class Evaluator:
             # free the chunk before staging the next one
             del chunk
 
-        fn_dev = jnp.asarray(params["final_norm"])
+        fn_dev = jax.device_put(params["final_norm"])
         head_w = params.get("lm_head")
-        head_dev = None if head_w is None else jnp.asarray(head_w.weight)
+        head_dev = (None if head_w is None
+                    else jax.device_put(head_w.weight))
         out: Dict[str, np.ndarray] = {}
         for name in acts:
             outs = []
@@ -356,7 +381,7 @@ class Evaluator:
                   dense_logits: np.ndarray, cache_key=None) -> float:
         per_sample = []
         jitted = self._loss_step
-        batches = list(self._batches(tokens))
+        batches = list(self._batches(tokens, batch_size=self._loss_batch))
         # one-batch prefetch: ship batch i+1's dense logits while the
         # device runs batch i's forward+loss (device_put is async)
         i = 0

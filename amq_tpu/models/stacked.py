@@ -185,24 +185,36 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
     ``head_bits``: quantize the lm_head (or the tied embedding's logits
     role) to this width for packed serving (see :func:`quantize_head`);
     None keeps the dense bf16 head (the reference's fp16-head behavior).
+
+    Elements of ``proxies`` may be zero-arg CALLABLES returning the
+    per-bit pytree: each is built, folded into its per-bit stacks, and
+    freed before the next — at 7B the three device-resident proxies
+    (~8.5 GB) plus their stacked copies cannot coexist on a 16 GB chip.
+    Dense parts (embed/norms/head) are device_put here: a host-resident
+    input pytree would otherwise be re-shipped on EVERY jitted call.
     """
     from ..core.quantize import to_container
     container_bits = container_bits or {}
-    base = proxies[-1]
-    L = len(base["layers"])
-    do_fuse = fuse == "always" or (fuse == "auto" and _arch_fusable(arch, L))
 
-    site_names: Dict[str, Tuple[str, ...]] = (
-        {**FUSED_GROUPS, "self_attn.o_proj": ("self_attn.o_proj",),
-         "mlp.down_proj": ("mlp.down_proj",)} if do_fuse
-        else {n: (n,) for n in LINEAR_NAMES})
-
-    sites: Dict[str, Tuple[StackedQuant, ...]] = {}
+    site_names: Optional[Dict[str, Tuple[str, ...]]] = None
+    per_bit: Dict[str, List[StackedQuant]] = {}
     biases: Dict[str, Optional[jnp.ndarray]] = {}
     select: Dict[str, jnp.ndarray] = {}
-    for name, members in site_names.items():
-        stacks = []
-        for bit, p in zip(bits_range, proxies):
+    base_parts: Dict[str, Any] = {}
+
+    for bi, (bit, p) in enumerate(zip(bits_range, proxies)):
+        if callable(p):
+            p = p()
+        L = len(p["layers"])
+        if site_names is None:
+            do_fuse = (fuse == "always"
+                       or (fuse == "auto" and _arch_fusable(arch, L)))
+            site_names = (
+                {**FUSED_GROUPS, "self_attn.o_proj": ("self_attn.o_proj",),
+                 "mlp.down_proj": ("mlp.down_proj",)} if do_fuse
+                else {n: (n,) for n in LINEAR_NAMES})
+            per_bit = {n: [] for n in site_names}
+        for name, members in site_names.items():
             cont = container_bits.get(bit, bit)
             per_layer = []
             for i in range(L):
@@ -220,7 +232,7 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
             # are zero -> sliced off by the kernel wrappers.
             n_pad = _pick_lane_pad(n_total)
             pad3 = ((0, 0), (0, 0), (0, n_pad))
-            stacks.append(StackedQuant(
+            per_bit[name].append(StackedQuant(
                 packed=jnp.pad(jnp.stack([jnp.concatenate(
                     [q.packed for q in qts], axis=1)
                     for qts in per_layer]), pad3),
@@ -232,37 +244,63 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
                     for qts in per_layer]), pad3),
                 nbits=q0.nbits, group_size=q0.group_size,
                 shape=(n_total, q0.shape[1]), superblock=q0.superblock))
-        sites[name] = tuple(stacks)
-        b0 = base["layers"][0][members[0]].bias
-        if b0 is None:
-            biases[name] = None
-        else:
-            biases[name] = jnp.stack([
-                jnp.concatenate([base["layers"][i][m].bias for m in members])
-                for i in range(L)])
-        if arch is None:
-            sel = [len(bits_range) - 1] * L
-        else:
-            sel = [list(bits_range).index(int(arch["linear"][members[0]][i]))
-                   for i in range(L)]
-        select[name] = jnp.asarray(sel, jnp.int32)
+        if bi == len(list(bits_range)) - 1:   # dense parts from the last bit
+            for name, members in site_names.items():
+                b0 = p["layers"][0][members[0]].bias
+                if b0 is None:
+                    biases[name] = None
+                else:
+                    biases[name] = jnp.stack([
+                        jnp.concatenate([jnp.asarray(p["layers"][i][m].bias)
+                                         for m in members])
+                        for i in range(L)])
+                    biases[name] = jax.device_put(biases[name])
+                if arch is None:
+                    sel = [len(bits_range) - 1] * L
+                else:
+                    sel = [list(bits_range).index(
+                        int(arch["linear"][members[0]][i]))
+                        for i in range(L)]
+                select[name] = jnp.asarray(sel, jnp.int32)
+            head = p.get("lm_head")
+            # explicit device_put: jnp.asarray is a NO-OP on an already-
+            # committed host jax.Array, and a host-resident embed/head in
+            # the returned model would be re-shipped over the tunnel on
+            # EVERY jitted call (~0.5 GB/call, in the transfer regime
+            # where the tunnel collapses ~20x — measured 5.1 s/sample)
+            base_parts = {
+                "embed": jax.device_put(p["embed"]),
+                "final_norm": jax.device_put(p["final_norm"]),
+                "head_w": (None if head is None
+                           else jax.device_put(head.weight)),
+                "input_norm": jax.device_put(
+                    jnp.stack([jnp.asarray(p["layers"][i]["input_norm"])
+                               for i in range(L)])),
+                "post_norm": jax.device_put(
+                    jnp.stack([jnp.asarray(p["layers"][i]["post_norm"])
+                               for i in range(L)])),
+                "L": L,
+            }
+        del p                                   # free this bit's proxy
 
-    head = base.get("lm_head")
+    assert site_names is not None and base_parts, "empty proxies"
+    sites = {name: tuple(stacks) for name, stacks in per_bit.items()}
+    L = base_parts["L"]
+
     head_qt = None
     if head_bits is not None:
-        head_w = head.weight if head is not None else base["embed"]
+        head_w = (base_parts["head_w"] if base_parts["head_w"] is not None
+                  else base_parts["embed"])
         head_qt = quantize_head(head_w, nbits=head_bits,
                                 meta_dtype=head_meta_dtype)
     return StackedModel(
-        embed=base["embed"],
-        final_norm=base["final_norm"],
-        lm_head=(None if head is None or head_qt is not None
-                 else head.weight),
+        embed=base_parts["embed"],
+        final_norm=base_parts["final_norm"],
+        lm_head=(None if base_parts["head_w"] is None or head_qt is not None
+                 else base_parts["head_w"]),
         lm_head_qt=head_qt,
-        input_norm=jnp.stack([base["layers"][i]["input_norm"]
-                              for i in range(L)]),
-        post_norm=jnp.stack([base["layers"][i]["post_norm"]
-                             for i in range(L)]),
+        input_norm=base_parts["input_norm"],
+        post_norm=base_parts["post_norm"],
         sites=sites, biases=biases, select=select,
         bits_range=tuple(bits_range), num_layers=L,
         # only commit to the whole-layer-switch structure when built for a

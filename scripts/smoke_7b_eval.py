@@ -33,6 +33,25 @@ model = sys.argv[1] if len(sys.argv) > 1 else "Llama-2-7b-hf"
 n_sample = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 seqlen = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
 
+
+def device_gib(tag):
+    by_kind = {}
+    total = 0
+    for a in jax.live_arrays():
+        try:
+            plat = next(iter(a.sharding.device_set)).platform
+        except Exception:
+            plat = "tpu"  # count unknowns
+        if plat != "tpu":
+            continue
+        total += a.nbytes
+        if a.nbytes > 64 * 2**20:
+            key = (str(a.dtype), tuple(a.shape))
+            by_kind[key] = by_kind.get(key, 0) + a.nbytes
+    print(f"[mem] {tag}: {total/2**30:.2f} GiB live on TPU", flush=True)
+    for (dt, shp), nb in sorted(by_kind.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"[mem]   {nb/2**30:6.2f} GiB  {dt} {shp}", flush=True)
+
 cfg = get_config(model)
 cpu = jax.devices("cpu")[0]
 t0 = time.time()
@@ -47,6 +66,7 @@ ev = Evaluator(cfg, dense_params=params, datasets={"synthetic": toks},
                batch_size=8, compute_dtype=jnp.bfloat16)
 print(f"Evaluator init (logit cache + 3 proxies): {time.time()-t0:.0f}s",
       flush=True)
+device_gib("after init")
 
 arch = {"linear": {l: [2 + (i % 3) for i in range(cfg.num_layers)]
                    for l in LINEAR_NAMES}}
@@ -54,6 +74,7 @@ t0 = time.time()
 m, bits = ev.eval(arch)
 print(f"first eval: {time.time()-t0:.0f}s loss={m['synthetic']:.4f} "
       f"bits={bits:.3f}", flush=True)
+device_gib("after first eval")
 t0 = time.time()
 m, bits = ev.eval(arch)
 dt = time.time() - t0
