@@ -51,8 +51,12 @@ def main(argv=None):
 
     proxies = None
     if args.proxy_path:
-        proxies = [load_quantized(os.path.join(
-            args.proxy_path, f"{cfg.name}_{b}bit_{args.group_size}gs_1axis"))[0]
+        # factories: built + freed one per-bit proxy at a time inside
+        # stack_proxies (7B memory staging)
+        proxies = [
+            (lambda b=b: load_quantized(os.path.join(
+                args.proxy_path,
+                f"{cfg.name}_{b}bit_{args.group_size}gs_1axis"))[0])
             for b in (2, 3, 4)]
 
     pass_list = prune_by_sensitivity(sensitivity, args.sensitivity_threshold)

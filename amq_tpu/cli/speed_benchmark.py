@@ -54,13 +54,20 @@ def main(argv=None):
 
     cfg, params = load_model(args)
     bits_range = [2, 3, 4]
+    # factories: stack_proxies builds + frees one per-bit proxy at a time
+    # (three materialized 7B proxies + their stacked copies overflow a
+    # 16 GB chip)
     if args.proxy_path:
-        proxies = [load_quantized(os.path.join(
-            args.proxy_path, f"{cfg.name}_{b}bit_{args.group_size}gs_1axis"))[0]
+        proxies = [
+            (lambda b=b: load_quantized(os.path.join(
+                args.proxy_path,
+                f"{cfg.name}_{b}bit_{args.group_size}gs_1axis"))[0])
             for b in bits_range]
     else:
-        proxies = [quantize_model(params, cfg, b, group_size=args.group_size)
-                   for b in bits_range]
+        proxies = [
+            (lambda b=b: quantize_model(params, cfg, b,
+                                        group_size=args.group_size))
+            for b in bits_range]
 
     if args.arch_json:
         with open(args.arch_json) as f:

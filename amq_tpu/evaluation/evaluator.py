@@ -64,6 +64,25 @@ def _dequantize_layers_host(params: Dict[str, Any],
     return out
 
 
+def _put_tree(tree, dev, chunk_bytes=512 * 2**20):
+    """device_put every array leaf onto ``dev``, splitting leaves larger
+    than ``chunk_bytes`` into row chunks (the tunneled backend's transfer
+    rate collapses ~20x on GB-sized single puts) and reassembling them on
+    the device."""
+    def put(a):
+        if a is None or not hasattr(a, "nbytes"):
+            return a
+        if a.nbytes <= chunk_bytes or a.ndim < 1 or a.shape[0] <= 1:
+            return jax.device_put(a, dev)
+        rows = max(1, int(chunk_bytes // max(a.nbytes // a.shape[0], 1)))
+        if rows >= a.shape[0]:
+            return jax.device_put(a, dev)
+        parts = [jax.device_put(a[i:i + rows], dev)
+                 for i in range(0, a.shape[0], rows)]
+        return jnp.concatenate(parts, axis=0)
+    return jax.tree.map(put, tree)
+
+
 class Evaluator:
     def __init__(
         self,
@@ -184,12 +203,27 @@ class Evaluator:
             # compiler's program-size limit at 7B scale) and selector-only
             # arch swaps (no retrace across ~10k search evaluations)
             self.switch_params = stacked_mod.stack_proxies(
-                proxies, self.bits_range, fuse="never")
+                proxies, self.bits_range, fuse="never",
+                device=self._model_device())
+            if self.mesh is not None:
+                # replicate the packed stacks over the mesh (quantize may
+                # have committed them to one device; mixed placement with
+                # 'data'-sharded tokens is an error)
+                self.switch_params = _put_tree(self.switch_params,
+                                               self._model_device())
         else:
             assert dense_params is not None
             self.model_params = dense_params
 
     # -- low level ---------------------------------------------------------
+
+    def _model_device(self):
+        """Placement target for model arrays: mesh-replicated under a
+        mesh, else the first accelerator device."""
+        if self.mesh is not None:
+            return jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec())
+        return jax.devices()[0]
 
     def _forward_logits(self, params, tokens, logits_dtype=jnp.float32):
         from ..models.stacked import StackedModel, forward_stacked
@@ -277,9 +311,11 @@ class Evaluator:
                 head_logits(fn_, hd_, emb_, x), t))
 
         B = min(self.batch_size, 4) if self.mesh is None else None
-        # explicit device_put: jnp.asarray would keep a committed host
-        # array host-resident and re-ship it on every jitted call
-        embed_dev = jax.device_put(params["embed"])
+        # explicit device_put to the accelerator: jnp.asarray (and a
+        # device-less device_put) keep a committed host array on the
+        # host, re-shipping it on every jitted call
+        dev = self._model_device()
+        embed_dev = jax.device_put(params["embed"], dev)
         acts: Dict[str, list] = {}
         toks_dev: Dict[str, list] = {}
         valid: Dict[str, list] = {}
@@ -292,16 +328,20 @@ class Evaluator:
                 valid[name].append(n_valid)
 
         for lo in range(0, L, per):
-            chunk = llama.stack_dense(params, lo, min(lo + per, L))
+            # stack_dense runs on the host (its inputs are committed host
+            # arrays); stage the chunk onto the device ONCE — a host-
+            # committed chunk would be re-shipped for every batch
+            chunk = _put_tree(
+                llama.stack_dense(params, lo, min(lo + per, L)), dev)
             for name in acts:
                 acts[name] = [chunk_fn(chunk, x) for x in acts[name]]
             # free the chunk before staging the next one
             del chunk
 
-        fn_dev = jax.device_put(params["final_norm"])
+        fn_dev = jax.device_put(params["final_norm"], dev)
         head_w = params.get("lm_head")
         head_dev = (None if head_w is None
-                    else jax.device_put(head_w.weight))
+                    else jax.device_put(head_w.weight, dev))
         out: Dict[str, np.ndarray] = {}
         for name in acts:
             outs = []

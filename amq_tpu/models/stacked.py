@@ -170,6 +170,7 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
                   container_bits: Optional[Dict[int, int]] = None,
                   head_bits: Optional[int] = None,
                   head_meta_dtype=jnp.bfloat16,
+                  device=None,
                   ) -> StackedModel:
     """Fold per-bit quantized pytrees (quantize_model outputs) into a
     StackedModel.
@@ -254,7 +255,9 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
                         jnp.concatenate([jnp.asarray(p["layers"][i][m].bias)
                                          for m in members])
                         for i in range(L)])
-                    biases[name] = jax.device_put(biases[name])
+                    biases[name] = jax.device_put(
+                        biases[name],
+                        device if device is not None else jax.devices()[0])
                 if arch is None:
                     sel = [len(bits_range) - 1] * L
                 else:
@@ -263,22 +266,26 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
                         for i in range(L)]
                 select[name] = jnp.asarray(sel, jnp.int32)
             head = p.get("lm_head")
-            # explicit device_put: jnp.asarray is a NO-OP on an already-
-            # committed host jax.Array, and a host-resident embed/head in
-            # the returned model would be re-shipped over the tunnel on
-            # EVERY jitted call (~0.5 GB/call, in the transfer regime
-            # where the tunnel collapses ~20x — measured 5.1 s/sample)
+            # explicit device_put TO THE ACCELERATOR: jnp.asarray (and a
+            # device-less device_put) keep a committed host jax.Array on
+            # the host, and a host-resident embed/head in the returned
+            # model is re-shipped over the tunnel on EVERY jitted call
+            # (~0.5 GB/call, in the transfer regime where the tunnel
+            # collapses ~20x — measured 5.1 s/sample before this).
+            # ``device`` may be a Device or a Sharding (mesh-replicated
+            # placement for data-parallel evaluation).
+            dev = device if device is not None else jax.devices()[0]
             base_parts = {
-                "embed": jax.device_put(p["embed"]),
-                "final_norm": jax.device_put(p["final_norm"]),
+                "embed": jax.device_put(p["embed"], dev),
+                "final_norm": jax.device_put(p["final_norm"], dev),
                 "head_w": (None if head is None
-                           else jax.device_put(head.weight)),
+                           else jax.device_put(head.weight, dev)),
                 "input_norm": jax.device_put(
                     jnp.stack([jnp.asarray(p["layers"][i]["input_norm"])
-                               for i in range(L)])),
+                               for i in range(L)]), dev),
                 "post_norm": jax.device_put(
                     jnp.stack([jnp.asarray(p["layers"][i]["post_norm"])
-                               for i in range(L)])),
+                               for i in range(L)]), dev),
                 "L": L,
             }
         del p                                   # free this bit's proxy
