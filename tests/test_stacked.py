@@ -86,6 +86,44 @@ def test_stacked_decode_with_cache_matches_full(setup):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_stack_proxies_factories_match_lists(setup):
+    """Elements of ``proxies`` may be zero-arg factories (7B memory
+    staging: one per-bit proxy resident at a time); the folded model must
+    be identical to the list-of-pytrees path."""
+    cfg, params, bits_range, proxies = setup
+    arch = _rand_arch(cfg, bits_range, 5)
+    want = stacked.stack_proxies(proxies, bits_range, arch)
+    got = stacked.stack_proxies([(lambda p=p: p) for p in proxies],
+                                bits_range, arch)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        want, got)
+
+
+def test_stack_proxies_mesh_replicated_device(setup):
+    """``device`` may be a NamedSharding: every dense part lands mesh-
+    replicated and the forward runs against data-sharded tokens without
+    a mixed-placement error."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    cfg, params, bits_range, proxies = setup
+    arch = _rand_arch(cfg, bits_range, 6)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    rep = NamedSharding(mesh, P())
+    model = stacked.stack_proxies(proxies, bits_range, arch, device=rep)
+    assert model.embed.sharding.is_equivalent_to(rep, model.embed.ndim)
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (8, 6)).astype(np.int32))
+    toks = jax.device_put(toks, NamedSharding(mesh, P("data", None)))
+    got, _ = jax.jit(lambda m, t: stacked.forward_stacked(
+        m, cfg, t, compute_dtype=jnp.float32))(model, toks)
+    want, _ = stacked.forward_stacked(
+        stacked.stack_proxies(proxies, bits_range, arch), cfg,
+        jnp.asarray(np.asarray(toks)), compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_quantized_head_matches_dense(setup):
     """stack_proxies(head_bits=8): logits from the packed 8-bit head must
     track the dense head closely (8-bit group quantization is ~lossless
