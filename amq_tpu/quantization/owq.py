@@ -354,18 +354,24 @@ class OWQPacked:
     """One linear in OWQ serving form.
 
     ``qt`` covers the permuted non-outlier input columns (padded to a
-    group multiple with zero-dequant codes); ``perm`` maps padded packed
-    K rows back to original input indices; ``out_ids``/``w_out`` are the
-    fp outlier columns (with GPTQ error compensation baked in).
+    group multiple with zero-dequant codes); ``w_out`` holds the fp
+    outlier columns (with GPTQ error compensation baked in).
+
+    The permutation is STATIC metadata, not a device array: OWQ's stable
+    argsort keeps non-outliers in original order, so compacting x is a
+    concatenation of the contiguous ``segments`` between outlier columns
+    — static slices the compiler turns into copies.  A runtime
+    ``jnp.take`` gather of the 4096-wide x was measured at ~450 us/GEMV
+    on v5e (30x the packed body itself, scripts/bench_owq.py) — dynamic
+    gathers are the one thing this backend cannot stream.
     """
 
     qt: QuantizedTensor
-    perm: jnp.ndarray      # [K_pad] int32 (pad entries repeat index 0)
-    main_mask: jnp.ndarray  # [K_pad] bool: False on pad entries (their
-    #                         packed codes share the last group's real
-    #                         zero-point, so the pad x must be zeroed)
-    out_ids: jnp.ndarray   # [n_out] int32
     w_out: jnp.ndarray     # [n_out, N]
+    #: static: contiguous (start, stop) runs of non-outlier input columns
+    segments: tuple = _dc.field(metadata=dict(static=True))
+    #: static: original indices of the outlier columns, ascending
+    out_ids: tuple = _dc.field(metadata=dict(static=True))
 
 
 def owq_pack(W: jnp.ndarray, H: jnp.ndarray, bits: int, n_out: int,
@@ -402,29 +408,49 @@ def owq_pack(W: jnp.ndarray, H: jnp.ndarray, bits: int, n_out: int,
         superblock=superblock)
 
     order = np.asarray(parts["order"])
-    perm = np.zeros(Kp, np.int32)
-    perm[:n_nonout] = order[:n_nonout]
-    out_ids = jnp.asarray(order[n_nonout:].astype(np.int32))
-    w_out = jnp.asarray(parts["w_out"]).T              # [n_out, N]
-    main_mask = jnp.asarray(np.arange(Kp) < n_nonout)
-    return Q, OWQPacked(qt=qt, perm=jnp.asarray(perm), main_mask=main_mask,
-                        out_ids=out_ids, w_out=w_out)
+    out_ids = np.sort(order[n_nonout:]).astype(int)
+    w_out_perm = np.argsort(order[n_nonout:])          # reorder to ascending
+    w_out = jnp.asarray(np.asarray(parts["w_out"]).T[w_out_perm])  # [n_out, N]
+    return Q, OWQPacked(qt=qt, w_out=w_out,
+                        segments=outlier_segments(out_ids, cols),
+                        out_ids=tuple(int(i) for i in out_ids))
+
+
+def outlier_segments(out_ids, n_cols: int) -> tuple:
+    """Contiguous (start, stop) runs of non-outlier columns, in order."""
+    segs, start = [], 0
+    for i in sorted(int(i) for i in out_ids):
+        if i > start:
+            segs.append((start, i))
+        start = i + 1
+    if start < n_cols:
+        segs.append((start, n_cols))
+    return tuple(segs)
 
 
 def owq_matmul(x: jnp.ndarray, p: OWQPacked, out_dtype=None,
                use_kernel: bool = True) -> jnp.ndarray:
     """``x @ W_owq.T`` in packed serving form: fused dequant-GEMV over the
-    gathered non-outlier columns + dense tail matmul on the outliers.
+    compacted non-outlier columns + dense tail matmul on the outliers.
 
-    Pad columns of the gather have zero dequantized weight, so their x
-    values (index 0 repeats) contribute nothing.
+    Compaction is a concatenation of static slices (no gather — see
+    OWQPacked); the pad columns are explicit zeros, so their packed codes
+    (which share the last real group's zero point) contribute nothing.
     """
     from ..ops.quant_matmul import quant_matmul, quant_matmul_reference
 
-    x_main = jnp.where(p.main_mask, jnp.take(x, p.perm, axis=-1), 0)
-    x_out = jnp.take(x, p.out_ids, axis=-1)
+    Kp = p.qt.in_features
+    parts = [jax.lax.slice_in_dim(x, a, b, axis=-1) for a, b in p.segments]
+    n_nonout = sum(b - a for a, b in p.segments)
+    if Kp > n_nonout:
+        parts.append(jnp.zeros((*x.shape[:-1], Kp - n_nonout), x.dtype))
+    x_main = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
     mm = quant_matmul if use_kernel else quant_matmul_reference
     y = mm(x_main, p.qt)
-    y = y + jnp.dot(x_out.astype(y.dtype), p.w_out.astype(y.dtype),
-                    preferred_element_type=jnp.float32).astype(y.dtype)
+    if p.out_ids:
+        x_out = jnp.concatenate(
+            [jax.lax.slice_in_dim(x, i, i + 1, axis=-1) for i in p.out_ids],
+            axis=-1)
+        y = y + jnp.dot(x_out.astype(y.dtype), p.w_out.astype(y.dtype),
+                        preferred_element_type=jnp.float32).astype(y.dtype)
     return y.astype(out_dtype or x.dtype)
