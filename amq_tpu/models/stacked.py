@@ -94,17 +94,35 @@ FUSED_GROUPS = {
 }
 
 
-def _pick_lane_pad(n_total: int) -> int:
+def _pick_lane_pad(n_total: int, k_in: int = 0) -> int:
     """Zero-pad the lane count so the decode n-tile stays big: per-grid-
-    step overhead (~0.35 us), not bytes, limits small-tile sites — on
-    Qwen2.5-7B the unpadded 4608/3584-lane qkv/o sites fell to bn=512
-    (63/49 grid steps, 31% of their byte roofline).  Pad bytes are
-    streamed, so the pad is bounded at <= n/7 per tile size."""
-    for mult in (2048, 1024):
+    step overhead (~0.35 us), not just bytes, limits small-tile sites —
+    on Qwen2.5-7B the unpadded 4608/3584-lane qkv/o sites fell to bn=512
+    (63/49 grid steps, 31% of their byte roofline).
+
+    2560 (20 lanes of 128) joins the power-of-two tiles: 13B's 5120-lane
+    o/down sites run 2 x 2560 at 81/89% of their byte roofline vs 5 x
+    1024 at 58/73% (scripts/bisect12.py), and its 15360-lane qkv needs
+    NO pad (6 x 2560) instead of +1024 lanes.  In-model calibration
+    (bench.py): trading EXTRA pad bytes for the 2560 tile over 2048
+    LOSES (7B qkv/gateup padded to 2560 multiples: 170.4 -> 164.9
+    tok/s), so between the two big tiles the smaller pad wins (ties ->
+    fewer grid steps); padding up to reach 2048 over 1024 stays the
+    measured win it always was (Qwen2.5-7B 67 -> 112 tok/s).  Pad is
+    bounded at <= n/7 per tile size; ``k_in`` is unused (kept for
+    callers that forward the site shape)."""
+    del k_in
+    bound = n_total // 7
+    best = None                       # (pad, steps, mult)
+    for mult in (2560, 2048):
         pad = -n_total % mult
-        if pad <= n_total // 7:
-            return pad
-    return 0
+        key = (pad, (n_total + pad) // mult)
+        if pad <= bound and (best is None or key < best[:2]):
+            best = key + (mult,)
+    if best is not None:
+        return best[0]
+    pad = -n_total % 1024
+    return pad if pad <= bound else 0
 
 
 def _arch_fusable(arch: Optional[Dict], L: int) -> bool:
@@ -231,7 +249,7 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
             # but LOSE in-model (the 8 MB codes operand starves the
             # attention/cache pipeline — bisect9 vs bench).  Pad columns
             # are zero -> sliced off by the kernel wrappers.
-            n_pad = _pick_lane_pad(n_total)
+            n_pad = _pick_lane_pad(n_total, q0.shape[1])
             pad3 = ((0, 0), (0, 0), (0, n_pad))
             per_bit[name].append(StackedQuant(
                 packed=jnp.pad(jnp.stack([jnp.concatenate(

@@ -354,7 +354,8 @@ def _quant_matmul_packed(
     # o_proj chain (664 GB/s vs 534, scripts/bisect9.py) but LOSES inside
     # the full layer (122 -> 119 tok/s; the 8 MB codes operand starves the
     # attention/cache pipeline) — in-model wins are what count.
-    n_cands = (2048, 1024, 512, 256, 128) if M <= 8 else (1024, 512, 256, 128)
+    n_cands = ((2560, 2048, 1024, 512, 256, 128) if M <= 8
+               else (1024, 512, 256, 128))
     bn = block_n or _pick_tile(Np, n_cands)
     # the K tile must equal the planar packing block
     bk = superblock or block_k or _pick_tile(Kp, (1024, 512, 256, 128))
@@ -507,7 +508,8 @@ def quant_matmul_indexed(
     # o_proj chain (664 GB/s vs 534, scripts/bisect9.py) but LOSES inside
     # the full layer (122 -> 119 tok/s; the 8 MB codes operand starves the
     # attention/cache pipeline) — in-model wins are what count.
-    n_cands = (2048, 1024, 512, 256, 128) if M <= 8 else (1024, 512, 256, 128)
+    n_cands = ((2560, 2048, 1024, 512, 256, 128) if M <= 8
+               else (1024, 512, 256, 128))
     bn = block_n or _pick_tile(Np, n_cands)
     T = bk // g
     rows_per_tile = packed_rows(bk, nbits)
@@ -655,7 +657,8 @@ def quant_matmul_swiglu_indexed(
     # o_proj chain (664 GB/s vs 534, scripts/bisect9.py) but LOSES inside
     # the full layer (122 -> 119 tok/s; the 8 MB codes operand starves the
     # attention/cache pipeline) — in-model wins are what count.
-    n_cands = (2048, 1024, 512, 256, 128) if M <= 8 else (1024, 512, 256, 128)
+    n_cands = ((2560, 2048, 1024, 512, 256, 128) if M <= 8
+               else (1024, 512, 256, 128))
     bn = block_n or _pick_tile(Np, n_cands)
     T = bk // g
     rows_per_tile = packed_rows(bk, nbits)

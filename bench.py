@@ -80,7 +80,7 @@ def _padded_site(N, K):
     decode n-tile (mirrors core.quantize + stacked.stack_proxies)."""
     from amq_tpu.models.stacked import _pick_lane_pad
     _, k_pad = pick_superblock_padded(K, GROUP)
-    return N + _pick_lane_pad(N), K + k_pad
+    return N + _pick_lane_pad(N, K), K + k_pad
 
 
 def random_stacked_model(cfg, rng) -> StackedModel:

@@ -112,3 +112,27 @@ def test_batched_leading_dims():
     assert got.shape == (2, 3, N)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_decode_gemv_bn2560_matches_reference():
+    """Non-power-of-two decode n-tile (bn=2560, 20 lanes of 128): the tile
+    13B's 5120-lane o/down sites pick (scripts/bisect12.py); exercises the
+    blockdiag GEMV with a bn that is not a multiple of the 1024 superblock."""
+    from amq_tpu.ops.quant_matmul import _quant_matmul_packed
+
+    rng = np.random.default_rng(7)
+    N, K = 2560, 512
+    W = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32) * 0.02)
+    qt = q.quantize(W, nbits=4, group_size=128)
+    x = jnp.asarray(rng.normal(size=(1, K)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+
+    want = quant_matmul_reference(x, qt, out_dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = _quant_matmul_packed(
+            x, qt.packed, qt.scale, qt.zero, nbits=4, group_size=128,
+            shape=qt.shape, superblock=qt.superblock_, block_n=2560,
+            acc_dtype=jnp.bfloat16, out_dtype=jnp.float32)[:1, :N]
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(want) / scale, atol=2e-2)

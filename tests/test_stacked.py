@@ -147,3 +147,26 @@ def test_quantized_head_matches_dense(setup):
     assert err < 0.01 * scale, (err, scale)
     np.testing.assert_array_equal(np.asarray(jnp.argmax(got, -1)),
                                   np.asarray(jnp.argmax(want, -1)))
+
+
+def test_pick_lane_pad_calibrated_rule():
+    """The decode n-tile lane-pad rule, pinned to the in-model bench
+    calibration (docs/ROADMAP.md): 2560 beats 2048 only at equal-or-
+    smaller pad; padding up to 2048 over 1024 is kept; pad <= n/7."""
+    from amq_tpu.models.stacked import _pick_lane_pad
+
+    # (N, expected Np) per measured model site
+    cases = {
+        12288: 12288,   # 7B qkv: 2048 pad 0 (NOT 2560 pad 512 — regressed)
+        22016: 22528,   # 7B gateup: 2048 pad 512 over 2560 pad 1024
+        15360: 15360,   # 13B qkv: 2560 pad 0 over 2048 pad 1024
+        5120: 5120,     # 13B o/down: 2560x2 (2048 pad out of bound)
+        27648: 28160,   # 13B gateup: 2560 pad 512 < 2048 pad 1024
+        4608: 5120,     # Qwen2.5-7B qkv: 2560 pad 512 (2048 out of bound)
+        3584: 4096,     # Qwen o/down: 2048 pad 512 (the 67->112 fix)
+        28672: 28672,   # Llama-3 gateup: 2048 pad 0 (2560 pad too big)
+        10240: 10240,   # 70B qkv: both pad 0 -> fewer steps (2560)
+        3072: 3072,     # no big tile within bound -> 1024 pad 0
+    }
+    for n, np_expect in cases.items():
+        assert n + _pick_lane_pad(n) == np_expect, n
