@@ -26,19 +26,36 @@ def linear_sensitivity(
     probe_bits: int = 2,
     progress: bool = False,
 ) -> Dict:
+    import copy
+
     cfg = evaluator.cfg
     n_block = cfg.num_layers
-    arch = {"linear": {l: [max_bits] * n_block for l in LINEAR_NAMES}}
+    base = {"linear": {l: [max_bits] * n_block for l in LINEAR_NAMES}}
+
+    keys, probes = [], []
+    for block_idx in range(n_block):
+        for linear_group in LINEAR_NAMES:
+            keys.append(f"{block_idx}.{linear_group}")
+            a = copy.deepcopy(base)
+            a["linear"][linear_group][block_idx] = probe_bits
+            probes.append(a)
 
     loss_list: Dict[str, float] = {}
     start = time.time()
-    for block_idx in range(n_block):
-        for linear_group in LINEAR_NAMES:
-            key = f"{block_idx}.{linear_group}"
-            arch["linear"][linear_group][block_idx] = probe_bits
-            metric, _ = evaluator.eval(arch)
+    many = getattr(evaluator, "eval_many", None)
+    if many is not None and getattr(evaluator, "search", False):
+        # batched probes: k archs per dispatch (evaluator.eval_many)
+        tile = 8
+        for ci in range(0, len(probes), tile):
+            for key, (metric, _) in zip(
+                    keys[ci:ci + tile], many(probes[ci:ci + tile])):
+                loss_list[key] = metric[dataset]
+                if progress:
+                    print(f"{key}: {loss_list[key]:.6f}", flush=True)
+    else:
+        for key, a in zip(keys, probes):
+            metric, _ = evaluator.eval(a)
             loss_list[key] = metric[dataset]
-            arch["linear"][linear_group][block_idx] = max_bits
             if progress:
                 print(f"{key}: {loss_list[key]:.6f}", flush=True)
 

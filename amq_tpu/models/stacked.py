@@ -94,7 +94,7 @@ FUSED_GROUPS = {
 }
 
 
-def _pick_lane_pad(n_total: int, k_in: int = 0) -> int:
+def _pick_lane_pad(n_total: int) -> int:
     """Zero-pad the lane count so the decode n-tile stays big: per-grid-
     step overhead (~0.35 us), not just bytes, limits small-tile sites —
     on Qwen2.5-7B the unpadded 4608/3584-lane qkv/o sites fell to bn=512
@@ -109,9 +109,7 @@ def _pick_lane_pad(n_total: int, k_in: int = 0) -> int:
     tok/s), so between the two big tiles the smaller pad wins (ties ->
     fewer grid steps); padding up to reach 2048 over 1024 stays the
     measured win it always was (Qwen2.5-7B 67 -> 112 tok/s).  Pad is
-    bounded at <= n/7 per tile size; ``k_in`` is unused (kept for
-    callers that forward the site shape)."""
-    del k_in
+    bounded at <= n/7 per tile size."""
     bound = n_total // 7
     best = None                       # (pad, steps, mult)
     for mult in (2560, 2048):
@@ -163,7 +161,8 @@ def apply_head(model: StackedModel, x: jnp.ndarray, compute_dtype):
         from ..ops.quant_matmul import quant_matmul, quant_matmul_reference
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        if linear_mod._KERNEL_IMPL is not None:
+        if (linear_mod._KERNEL_IMPL is not None
+                and not (_PREFILL_XLA_M and x2.shape[0] >= _PREFILL_XLA_M)):
             out = quant_matmul(x2, model.lm_head_qt, out_dtype=jnp.float32)
         else:
             out = quant_matmul_reference(x2, model.lm_head_qt,
@@ -249,7 +248,7 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
             # but LOSE in-model (the 8 MB codes operand starves the
             # attention/cache pipeline — bisect9 vs bench).  Pad columns
             # are zero -> sliced off by the kernel wrappers.
-            n_pad = _pick_lane_pad(n_total, q0.shape[1])
+            n_pad = _pick_lane_pad(n_total)
             pad3 = ((0, 0), (0, 0), (0, n_pad))
             per_bit[name].append(StackedQuant(
                 packed=jnp.pad(jnp.stack([jnp.concatenate(
@@ -423,18 +422,32 @@ def set_arch(model: StackedModel, arch: Dict) -> StackedModel:
     return dataclasses.replace(model, select=select)
 
 
+#: token count at/above which the stacked linears leave the Pallas GEMV
+#: template for XLA's dequantize-then-matmul: the template's multi-m
+#: scratch path is tuned for decode and measured 29% MFU at prompt 2048,
+#: while XLA fuses the dequant into its own large-M matmul tiling (the
+#: eval path's measured choice, evaluation/evaluator.py docstring).
+#: AMQ_PREFILL_XLA_M=0 disables the rerouting (A/B runs).
+_PREFILL_XLA_M = int(os.environ.get("AMQ_PREFILL_XLA_M", "256"))
+
+
 def _apply_stack(stack: StackedQuant, i, x, compute_dtype):
     """Apply layer ``i`` of one bit-stack (no switch).
 
     With a kernel impl installed, the layer index goes into the Pallas
     kernel as a scalar-prefetch BlockSpec index (DMA straight from the
     stacked buffer); the XLA path dynamic-slices the layer instead.
+    Large-M (prefill/eval) calls always take the XLA dequant-matmul
+    (see _PREFILL_XLA_M).
     """
     impl = linear_mod._KERNEL_IMPL
     if impl is not None and stack.superblock:
         from ..ops.quant_matmul import quant_matmul_indexed
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
+        if _PREFILL_XLA_M and x2.shape[0] >= _PREFILL_XLA_M:
+            ql = QuantLinear(qt=stack.layer(i), bias=None)
+            return linear_mod.apply_linear(ql, x, compute_dtype)
         out = quant_matmul_indexed(
             x2, stack.packed, stack.scale, stack.zero, i,
             nbits=stack.nbits, group_size=stack.group_size,
@@ -461,7 +474,9 @@ def _apply_down_swiglu(model: StackedModel, i, gate, up, compute_dtype,
     def stack_branch(stack: StackedQuant):
         def br(operand):
             g, u = operand
-            if impl is not None and stack.superblock:
+            g2_rows = int(np.prod(g.shape[:-1]))
+            if (impl is not None and stack.superblock
+                    and not (_PREFILL_XLA_M and g2_rows >= _PREFILL_XLA_M)):
                 from ..ops.quant_matmul import quant_matmul_swiglu_indexed
                 lead = g.shape[:-1]
                 g2 = g.reshape(-1, g.shape[-1])

@@ -48,13 +48,20 @@ def _pick_t_tile(T: int) -> int:
 
 def _attn_kernel(offs_ref, idx_ref, q_ref, kc_ref, vc_ref, kn_ref, vn_ref,
                  o_ref, m_ref, l_ref, acc_ref,
-                 *, G, Tt, window, neg=-1e30):
+                 *, G, Tt, window, g_major, neg=-1e30):
     b = pl.program_id(0)
     t = pl.program_id(2)
     n_t = pl.num_programs(2)
     off = offs_ref[b]
-    Hb = q_ref.shape[1]
     hd = q_ref.shape[3]
+    Hb = q_ref.shape[2] if g_major else q_ref.shape[1]
+
+    def q_at(g):
+        # g_major: q/o ride as [1, G, Hb, hd] so per-g access is a clean
+        # 2-D [Hb, hd] slice — the [1, Hb, G, hd] layout's mid-tensor
+        # singleton (vector<Hb x hd> -> <1 x Hb x 1 x hd>) is an
+        # unsupported Mosaic shape cast when hd < the 128-lane tile
+        return q_ref[0, g] if g_major else q_ref[0, :, g, :]
 
     @pl.when(t == 0)
     def _():
@@ -76,7 +83,7 @@ def _attn_kernel(offs_ref, idx_ref, q_ref, kc_ref, vc_ref, kn_ref, vn_ref,
     for g in range(G):
         m = m_ref[g]                              # [Hb, 1]
         l = l_ref[g]
-        q = q_ref[0, :, g, :].astype(jnp.float32)            # [Hb, hd]
+        q = q_at(g).astype(jnp.float32)                      # [Hb, hd]
 
         @pl.when(live)
         def _():
@@ -102,7 +109,11 @@ def _attn_kernel(offs_ref, idx_ref, q_ref, kc_ref, vc_ref, kn_ref, vn_ref,
             p1 = jnp.exp(s1 - m_fin)
             l_fin = l_ref[g] * corr + p1
             acc = acc_ref[g] * corr + p1 * vn
-            o_ref[0, :, g, :] = (acc / l_fin).astype(o_ref.dtype)
+            out = (acc / l_fin).astype(o_ref.dtype)
+            if g_major:
+                o_ref[0, g] = out
+            else:
+                o_ref[0, :, g, :] = out
 
 
 @functools.partial(
@@ -141,6 +152,12 @@ def decode_attention_indexed(
     offs = jnp.asarray(offsets, jnp.int32).reshape(B)
     idx = jnp.asarray(layer, jnp.int32).reshape(1)
 
+    # hd below the 128-lane tile: ship q/out G-major ([B, G, Hkv, hd]) so
+    # per-g kernel access is 2-D — see _attn_kernel.q_at
+    g_major = hd < 128
+    if g_major:
+        q = jnp.swapaxes(q, 1, 2)
+
     # clamp the T-tile index to the last live tile: an unchanged block
     # index skips the DMA, so dead tail tiles are never streamed
     def cache_map(b, h, t, offs, idx):
@@ -148,20 +165,33 @@ def decode_attention_indexed(
         return (idx[0], b, h, jnp.minimum(t, last), 0)
 
     grid = (B, Hkv // Hb, n_t)
-    kernel = functools.partial(_attn_kernel, G=G, Tt=Tt, window=window)
+    kernel = functools.partial(_attn_kernel, G=G, Tt=Tt, window=window,
+                               g_major=g_major)
+
+    if g_major:
+        q_spec = pl.BlockSpec((1, G, Hb, hd),
+                              lambda b, h, t, offs, idx: (b, 0, h, 0))
+        o_spec = pl.BlockSpec((1, G, Hb, hd),
+                              lambda b, h, t, offs, idx: (b, 0, h, 0))
+        o_shape = (B, G, Hkv, hd)
+    else:
+        q_spec = pl.BlockSpec((1, Hb, G, hd),
+                              lambda b, h, t, offs, idx: (b, h, 0, 0))
+        o_spec = pl.BlockSpec((1, Hb, G, hd),
+                              lambda b, h, t, offs, idx: (b, h, 0, 0))
+        o_shape = (B, Hkv, G, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                       # offsets, layer idx
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Hb, G, hd), lambda b, h, t, offs, idx: (b, h, 0, 0)),
+            q_spec,
             pl.BlockSpec((1, 1, Hb, Tt, hd), cache_map),
             pl.BlockSpec((1, 1, Hb, Tt, hd), cache_map),
             pl.BlockSpec((1, Hb, hd), lambda b, h, t, offs, idx: (b, h, 0)),
             pl.BlockSpec((1, Hb, hd), lambda b, h, t, offs, idx: (b, h, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Hb, G, hd),
-                               lambda b, h, t, offs, idx: (b, h, 0, 0)),
+        out_specs=o_spec,
         scratch_shapes=[
             pltpu.VMEM((G, Hb, 1), jnp.float32),     # running max
             pltpu.VMEM((G, Hb, 1), jnp.float32),     # running denominator
@@ -171,7 +201,7 @@ def decode_attention_indexed(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, hd), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(o_shape, out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
@@ -182,4 +212,6 @@ def decode_attention_indexed(
             transcendentals=B * Hkv * G * T,
         ),
     )(offs, idx, q, k_cache, v_cache, k_new, v_new)
+    if g_major:
+        out = jnp.swapaxes(out, 1, 2)
     return out

@@ -826,8 +826,12 @@ def quant_matmul_mlp_indexed(
     assert Kp_d % sb == 0 and Kp_gu % sb == 0
     T = sb // g
 
-    bn_gu = _pick_tile(Np_gu, (2048, 1024, 512, 256, 128))
-    bn_d = _pick_tile(Np_d, (2048, 1024, 512, 256, 128))
+    # 2560 joins the candidates because _pick_lane_pad now pads sites to
+    # 2560 multiples when that needs less pad (13B gateup 28160, Qwen2.5-7B
+    # gateup 38400 — neither divisible by 2048/1024; without 2560 here the
+    # opt-in megakernel would drop to bn=512 on exactly those sites).
+    bn_gu = _pick_tile(Np_gu, (2560, 2048, 1024, 512, 256, 128))
+    bn_d = _pick_tile(Np_d, (2560, 2048, 1024, 512, 256, 128))
     Kgu_t, Kd_t = Kp_gu // sb, Kp_d // sb
     S1 = (Np_gu // bn_gu) * Kgu_t
     D = S1 + (Np_d // bn_d) * Kd_t

@@ -36,40 +36,55 @@ from ..models.config import ModelConfig
 from ..models.stacked import StackedModel, StackedQuant, scan_layers
 
 
-def make_stage_mesh(n_stages: int) -> Mesh:
+def make_stage_mesh(n_stages: int, tp: int = 1) -> Mesh:
+    """Stage mesh; with ``tp > 1`` a composed ('stage', 'tensor') mesh —
+    each pipeline stage is itself a tensor-parallel group."""
     devs = jax.devices()
-    assert len(devs) >= n_stages, (len(devs), n_stages)
+    assert len(devs) >= n_stages * tp, (len(devs), n_stages, tp)
+    if tp > 1:
+        return Mesh(np.array(devs[:n_stages * tp]).reshape(n_stages, tp),
+                    ("stage", "tensor"))
     return Mesh(np.array(devs[:n_stages]), ("stage",))
 
 
-def model_specs(model: StackedModel) -> StackedModel:
-    """PartitionSpec pytree: layer-axis leaves on 'stage', rest replicated."""
-    def qspec(sq: StackedQuant) -> StackedQuant:
-        return dataclasses.replace(
-            sq, packed=P("stage", None, None), scale=P("stage", None, None),
-            zero=P("stage", None, None))
+def model_specs(model: StackedModel, tp: bool = False) -> StackedModel:
+    """PartitionSpec pytree: layer-axis leaves on 'stage', rest replicated.
 
+    ``tp=True``: the model is a TP-stacked one (parallel/tp_stacked —
+    every leaf carries a leading shard axis); prefix each spec with
+    'tensor' so stages shard layers and tensor shards lanes/rows.
+    """
+    pre = ("tensor",) if tp else ()
+
+    def qspec(sq: StackedQuant) -> StackedQuant:
+        s3 = P(*pre, "stage", None, None)
+        return dataclasses.replace(sq, packed=s3, scale=s3, zero=s3)
+
+    assert model.slots is None, (
+        "container-merged stacks are compact per container and cannot be "
+        "layer-partitioned over stages; build without merge_containers")
     return StackedModel(
-        embed=P(), final_norm=P(), lm_head=None if model.lm_head is None
-        else P(),
-        input_norm=P("stage", None), post_norm=P("stage", None),
+        embed=P(*pre), final_norm=P(*pre),
+        lm_head=None if model.lm_head is None else P(*pre),
+        input_norm=P(*pre, "stage", None), post_norm=P(*pre, "stage", None),
         sites={k: tuple(qspec(s) for s in v)
                for k, v in model.sites.items()},
-        biases={k: (None if b is None else P("stage", None))
+        biases={k: (None if b is None else P(*pre, "stage", None))
                 for k, b in model.biases.items()},
-        select={k: P("stage") for k in model.select},
+        select={k: P(*pre, "stage") for k in model.select},
         bits_range=model.bits_range, num_layers=model.num_layers,
         uniform_select=model.uniform_select)
 
 
-def cache_specs() -> llama.KVCache:
-    return llama.KVCache(k=P("stage", None, None, None, None),
-                         v=P("stage", None, None, None, None),
+def cache_specs(tp: bool = False) -> llama.KVCache:
+    pre = ("tensor",) if tp else ()
+    return llama.KVCache(k=P(*pre, "stage", None, None, None, None),
+                         v=P(*pre, "stage", None, None, None, None),
                          length=P())
 
 
 def shard_model_pp(model: StackedModel, mesh: Mesh) -> StackedModel:
-    specs = model_specs(model)
+    specs = model_specs(model, tp="tensor" in mesh.axis_names)
 
     def put(x, s):
         if x is None or not hasattr(x, "shape"):
@@ -93,6 +108,7 @@ def make_pp_step(cfg: ModelConfig, mesh: Mesh, model: StackedModel,
     B*S*V floats over ICI for nothing).
     """
     S = mesh.shape["stage"]
+    tp = mesh.shape.get("tensor", 1) if "tensor" in mesh.axis_names else 1
     L = model.num_layers
     assert L % S == 0, (L, S)
     assert batch % n_micro == 0, (batch, n_micro)
@@ -100,15 +116,27 @@ def make_pp_step(cfg: ModelConfig, mesh: Mesh, model: StackedModel,
     H = cfg.hidden_size
     V = cfg.vocab_size
     n_ticks = S + n_micro - 1
+    if tp > 1:
+        from .tp_stacked import local_stacked_config
+        scan_cfg = local_stacked_config(cfg, tp)
+        assert model.lm_head_qt is None, (
+            "pp x tp keeps the dense replicated head; build the TP model "
+            "without head_bits")
+    else:
+        scan_cfg = cfg
 
-    pspec = model_specs(model)
+    pspec = model_specs(model, tp=tp > 1)
     fwd_perm = [(i, (i + 1) % S) for i in range(S)]
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(pspec, P(None, None), cache_specs()),
-             out_specs=(P(None, None), cache_specs()),
+             in_specs=(pspec, P(None, None), cache_specs(tp=tp > 1)),
+             out_specs=(P(None, None), cache_specs(tp=tp > 1)),
              check_vma=False)
     def step(m, tokens, cache):
+        if tp > 1:   # squeeze the leading TP shard axis (local size 1)
+            m = jax.tree.map(lambda x: x[0], m)
+            cache = llama.KVCache(k=cache.k[0], v=cache.v[0],
+                                  length=cache.length)
         # m's [L,...] leaves are stage-local [L/S, ...]
         m_local = dataclasses.replace(m, num_layers=L // S)
         stage = jax.lax.axis_index("stage")
@@ -136,8 +164,9 @@ def make_pp_step(cfg: ModelConfig, mesh: Mesh, model: StackedModel,
             kc = jax.lax.dynamic_slice_in_dim(k_all, b0, Bm, axis=1)
             vc = jax.lax.dynamic_slice_in_dim(v_all, b0, Bm, axis=1)
             x_out, (k_app, v_app) = scan_layers(
-                m_local, cfg, x_cur, cache_kv=(kc, vc),
-                offset=offset, compute_dtype=compute_dtype)
+                m_local, scan_cfg, x_cur, cache_kv=(kc, vc),
+                offset=offset, compute_dtype=compute_dtype,
+                tp_axis="tensor" if tp > 1 else None)
             # scan_layers returns only the APPENDED keys [L,Bm,kv,S,hd];
             # write just those positions back, masked when the stage idles
             start = (0, b0, 0, offset, 0)
@@ -170,6 +199,10 @@ def make_pp_step(cfg: ModelConfig, mesh: Mesh, model: StackedModel,
         out = jax.lax.psum(
             jnp.where(stage == S - 1, out, jnp.zeros_like(out)), "stage")
         logits = out.reshape(batch, V)
+        if tp > 1:
+            # out_specs carry the leading TP shard axis; head compute was
+            # replicated over 'tensor' so the psum above already agrees
+            k_all, v_all = k_all[None], v_all[None]
         new_cache = llama.KVCache(k=k_all, v=v_all,
                                   length=cache.length + seq_len)
         return logits, new_cache

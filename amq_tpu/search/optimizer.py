@@ -57,6 +57,7 @@ class Search:
         resume_path: Optional[str] = None,
         seed: int = 0,
         verbose: bool = True,
+        predictor_kwargs: Optional[Dict] = None,
     ):
         self.evaluator = evaluator
         self.space = search_space
@@ -75,6 +76,9 @@ class Search:
         self.resume_path = resume_path
         self.rng = np.random.default_rng(seed)
         self.verbose = verbose
+        #: extra get_predictor kwargs (e.g. {'epochs': 50} for fast MLP
+        #: fits in tests/smokes; the reference default is 2000)
+        self.predictor_kwargs = dict(predictor_kwargs or {})
 
     # ------------------------------------------------------------------
 
@@ -84,6 +88,18 @@ class Search:
 
     def _evaluate(self, architectures: Sequence[Arch]) -> Tuple[List[float], List[float]]:
         metric_list, bits_list = [], []
+        # proxy evaluators batch k archs per dispatch (eval_many);
+        # final-mode / foreign evaluators fall back to one-at-a-time
+        if len(architectures) > 1 and getattr(self.evaluator, "search",
+                                              False):
+            many = getattr(self.evaluator, "eval_many", None)
+            if many is not None:
+                for metric, usage in many(list(architectures)):
+                    val = float(np.nan_to_num(metric[self.dataset],
+                                              nan=self.max_value))
+                    metric_list.append(min(self.max_value, val))
+                    bits_list.append(usage)
+                return metric_list, bits_list
         for arch in architectures:
             metric, usage = self.evaluator.eval(arch)
             val = float(np.nan_to_num(metric[self.dataset], nan=self.max_value))
@@ -103,7 +119,9 @@ class Search:
                 "lb": np.delete(lb, self.space.pass_linear_idx_list),
                 "ub": np.delete(ub, self.space.pass_linear_idx_list),
             }
-        predictor = get_predictor(self.predictor_name, inputs, targets, **kwargs)
+        kwargs.update(self.predictor_kwargs)
+        predictor = get_predictor(self.predictor_name, inputs, targets,
+                                  **kwargs)
         return predictor, predictor.predict(inputs)
 
     def _next(self, archive, predictor, K):

@@ -53,6 +53,11 @@ class Engine:
     compute_dtype: Any = jnp.bfloat16
     use_pallas: bool = True
     cache_dtype: Any = jnp.bfloat16
+    #: override the forward: (params, tokens, cache) -> (logits, cache) —
+    #: e.g. the shard_map-ped TP forward (parallel/tp_stacked.make_tp_engine)
+    forward_fn: Optional[Any] = None
+    #: override KV-cache construction (sharded caches for mesh serving)
+    cache_factory: Optional[Any] = None
 
     def __post_init__(self):
         self._impl = pallas_linear_impl if self.use_pallas else None
@@ -61,11 +66,15 @@ class Engine:
                                  static_argnames=("n_steps",))
 
     def new_cache(self) -> llama.KVCache:
+        if self.cache_factory is not None:
+            return self.cache_factory()
         return llama.KVCache.create(self.cfg, self.batch_size, self.max_len,
                                     dtype=self.cache_dtype)
 
     def _forward(self, params, tokens, cache):
         from ..models.stacked import StackedModel, forward_stacked
+        if self.forward_fn is not None:
+            return self.forward_fn(params, tokens, cache)
         if isinstance(params, StackedModel):
             return forward_stacked(params, self.cfg, tokens, cache=cache,
                                    compute_dtype=self.compute_dtype)

@@ -80,7 +80,7 @@ def _padded_site(N, K):
     decode n-tile (mirrors core.quantize + stacked.stack_proxies)."""
     from amq_tpu.models.stacked import _pick_lane_pad
     _, k_pad = pick_superblock_padded(K, GROUP)
-    return N + _pick_lane_pad(N, K), K + k_pad
+    return N + _pick_lane_pad(N), K + k_pad
 
 
 def random_stacked_model(cfg, rng) -> StackedModel:
@@ -181,23 +181,51 @@ def random_stacked_model(cfg, rng) -> StackedModel:
     return model
 
 
-def weight_bytes_per_token(cfg) -> float:
-    """HBM bytes touched per decode token (packed weights + scale/zero,
-    including tile padding and container widening actually streamed)."""
+def weight_bytes_per_token(cfg, streamed: bool = True) -> float:
+    """HBM bytes touched per decode token (packed weights + scale/zero).
+
+    ``streamed=True`` counts what the kernels actually read: container
+    widths (3-bit in nibble containers by default) plus tile padding.
+    ``streamed=False`` counts capacity-optimal NATIVE storage at the
+    logical widths with no pads — the "b bits/weight" accounting of the
+    reference (utils/func.py:101-114).  BENCH reports both so the nibble
+    container's +1/3 stream-vs-capacity tradeoff is explicit (VERDICT r2
+    weakness 2)."""
     total = 0.0
     for name, (N, K) in _bench_sites(cfg).items():
-        Np, Kp = _padded_site(N, K)
+        Np, Kp = _padded_site(N, K) if streamed else (N, K)
         for i in range(cfg.num_layers):
-            b = CONTAINER[BITS_RANGE[i % len(BITS_RANGE)]]
+            b = BITS_RANGE[i % len(BITS_RANGE)]
+            if streamed:
+                b = CONTAINER[b]
             total += Kp * Np * b / 8 + (Kp // GROUP) * Np * 2 * 2  # bf16 s/z
     if HEAD_BITS:
-        Vp = cfg.vocab_size + (-cfg.vocab_size % 2048)
+        Vp = cfg.vocab_size + (-cfg.vocab_size % 2048) if streamed \
+            else cfg.vocab_size
         total += (cfg.hidden_size * Vp * HEAD_BITS / 8
                   + (cfg.hidden_size // GROUP) * Vp * 2 * 2)
     else:
         total += cfg.vocab_size * cfg.hidden_size * 2  # head bf16
     total += cfg.hidden_size * 2                       # one embed row/token
     return total
+
+
+def decoder_linear_weights(cfg) -> float:
+    """Logical weight count of the decoder linears + served head."""
+    n = sum(N * K for N, K in _bench_sites(cfg).values()) * cfg.num_layers
+    return n + cfg.vocab_size * cfg.hidden_size
+
+
+def prefill_flops(cfg, S: int) -> tuple:
+    """(linear_flops, attention_flops) of one prefill at prompt length S.
+
+    Linears: 2*N*K MACs->FLOPs per token per site (+ the lm_head on every
+    position).  Attention: QK^T + PV are each 2*S*S*hd per head, causal
+    masking halves the useful half -> factor 2 total (the flash kernel
+    skips fully-masked tiles, so count the causal half only)."""
+    lin = 2 * S * decoder_linear_weights(cfg)
+    att = cfg.num_layers * cfg.num_heads * 2 * 2 * S * S * cfg.head_dim_ / 2
+    return lin, att
 
 
 def main():
@@ -262,12 +290,60 @@ def main():
     log(f"per-token {per_tok*1e3:.2f}ms -> weight stream {bw:.0f} GB/s "
         f"(v5e HBM ~819 GB/s => {bw/819*100:.0f}% roofline incl. dispatch)")
 
-    print(json.dumps({
+    # capacity vs stream accounting (VERDICT r2 weakness 2): the nibble
+    # container trades +1/3 streamed bytes on 3-bit layers for ~2x faster
+    # extraction; stored bits stay capacity-optimal only with BENCH_NATIVE3
+    n_w = decoder_linear_weights(cfg)
+    stored_bits = weight_bytes_per_token(cfg, streamed=False) * 8 / n_w
+    streamed_bits = weight_bytes_per_token(cfg, streamed=True) * 8 / n_w
+    log(f"avg stored bits/weight {stored_bits:.2f} (native widths, +32/g "
+        f"meta) | avg streamed bits/weight {streamed_bits:.2f} "
+        f"(containers + pads)")
+
+    # --- prefill MFU at the eval shape (VERDICT r2 item 6) ---
+    prefill_mfu = None
+    if os.environ.get("BENCH_PREFILL_MFU", "1") == "1":
+        S_MFU = int(os.environ.get("BENCH_MFU_PROMPT", "2048"))
+        eng_p = Engine(model, cfg, batch_size=1, max_len=S_MFU + 8,
+                       compute_dtype=jnp.bfloat16, use_pallas=USE_PALLAS)
+        long_prompt = rng.integers(0, cfg.vocab_size,
+                                   (1, S_MFU)).astype(np.int32)
+        t0 = time.time()
+        cp = eng_p.new_cache()
+        last_p, cp = eng_p._prefill(eng_p.params, jnp.asarray(long_prompt),
+                                    cp)
+        sync(last_p)
+        log(f"prefill-{S_MFU} compile+run: {time.time() - t0:.1f}s")
+        best_p = np.inf
+        for _ in range(2):
+            cp = eng_p.new_cache()
+            t0 = time.time()
+            last_p, cp = eng_p._prefill(eng_p.params,
+                                        jnp.asarray(long_prompt), cp)
+            sync(last_p)
+            best_p = min(best_p, time.time() - t0)
+        lin_f, att_f = prefill_flops(cfg, S_MFU)
+        # v5e MXU peak: ~197 TFLOP/s bf16 per chip
+        prefill_mfu = (lin_f + att_f) / best_p / 197e12
+        log(f"prefill {S_MFU}: {best_p*1e3:.0f}ms  "
+            f"{(lin_f+att_f)/best_p/1e12:.1f} TFLOP/s = "
+            f"{prefill_mfu*100:.0f}% MFU incl. dispatch "
+            f"(linear {lin_f/1e12:.2f} TF + attn {att_f/1e12:.2f} TF; "
+            f"attn share {att_f/(lin_f+att_f)*100:.0f}%)")
+
+    out = {
         "metric": f"decode_tokens_per_s_{MODEL}_avg3bit_chip",
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_TPS, 3),
-    }), flush=True)
+        "ttft_ms": round(ttft * 1e3, 1),
+        "weight_stream_gbps": round(bw, 1),
+        "avg_stored_bits": round(stored_bits, 3),
+        "avg_streamed_bits": round(streamed_bits, 3),
+    }
+    if prefill_mfu is not None:
+        out["prefill_mfu_pct"] = round(prefill_mfu * 100, 1)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -23,15 +23,13 @@ params = init_params(cfg, jax.random.PRNGKey(0))
 ckpt = os.path.join(work, "tiny-llama-hf")
 save_hf_checkpoint(params, cfg, ckpt)
 save_dummy_tokenizer(ckpt, cfg.vocab_size)
-words = [f"w{(i % (cfg.vocab_size - 1)) + 1}" for i in range(40000)]
-with open(os.path.join(work, "corpus.txt"), "w") as f:
-    f.write("\n".join(" ".join(words[i:i + 40])
-                      for i in range(0, len(words), 40)))
 print("checkpoint:", ckpt)
 EOF
 
 CKPT="$WORK/tiny-llama-hf"
-DS="local:$WORK/corpus.txt"
+# the corpus is CHECKED IN (tests/data/mini_corpus.txt — also the
+# data-loader golden fixture), so this recipe is reproducible as-is
+DS="local:tests/data/mini_corpus.txt"
 COMMON=(--model_path "$CKPT" --dataset "$DS" --platform cpu
         --n_sample 8 --seqlen 128)
 
