@@ -32,11 +32,15 @@ def main(argv=None):
     from ..models import quantize_model
     from ..utils.checkpoint import save_quantized
 
+    import jax
     cfg, params = load_model(args)
     for b in args.nbits:
+        # stage weights on the accelerator (host-committed params would
+        # pin the proximal solver to the CPU backend)
         q = quantize_model(params, cfg, b, group_size=args.group_size,
                            optimize=not args.no_optimize,
-                           meta_dtype=getattr(jnp, args.meta_dtype))
+                           meta_dtype=getattr(jnp, args.meta_dtype),
+                           device=jax.devices()[0])
         # path schema mirrors {model}_{n}bit_128gs_1axis (reference scripts)
         out = os.path.join(args.save_path,
                            f"{cfg.name}_{b}bit_{args.group_size}gs_1axis")

@@ -66,6 +66,7 @@ def main(argv=None):
                    datasets={args.dataset: tokens},
                    group_size=args.group_size, batch_size=args.batch_size,
                    mesh=data_mesh(args), compute_dtype=compute_dtype(args))
+    params = None          # 13.5 GB host pytree at 7B — consumed above
     apply_eval_cache_args(ev, args)
     space = SearchSpace(cfg.topology(), group_size=args.group_size,
                         pass_linear_list=pass_list,

@@ -43,6 +43,9 @@ def main(argv=None):
                    datasets={args.dataset: tokens},
                    group_size=args.group_size, batch_size=args.batch_size,
                    mesh=data_mesh(args), compute_dtype=compute_dtype(args))
+    # the dense pytree is consumed (logit cache + proxies); at 7B it is
+    # 13.5 GB of host RAM this frame would otherwise pin for the run
+    params = None
     apply_eval_cache_args(ev, args)
     table = linear_sensitivity(ev, args.dataset, progress=True)
     # local:<path> datasets carry slashes; keep the filename flat

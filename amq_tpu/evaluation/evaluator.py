@@ -65,6 +65,33 @@ def _dequantize_layers_host(params: Dict[str, Any],
     return out
 
 
+def _malloc_trim():
+    """Return freed glibc arenas to the OS: the GB-scale host phases
+    (layer-chunk staging, logits gather) otherwise leave tens of GB of
+    retained-but-free arena RSS, which OOM-kills the 7B 128-sample
+    pipeline on a 125 GB host."""
+    try:
+        import ctypes
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:  # pragma: no cover
+        pass
+
+
+def _logmem(tag: str):
+    """Host-RSS progress logging for the GB-scale init phases
+    (AMQ_LOG_MEM=1): the 7B dense-logit cache + proxy staging has
+    multi-minute silent phases and the host has finite RAM."""
+    if os.environ.get("AMQ_LOG_MEM", "0") != "1":
+        return
+    try:
+        with open("/proc/self/status") as f:
+            rss = next(ln for ln in f if ln.startswith("VmRSS"))
+        rss = int(rss.split()[1]) // 1024
+    except Exception:
+        rss = -1
+    print(f"[mem] {tag}: rss={rss} MiB", flush=True)
+
+
 def _put_tree(tree, dev, chunk_bytes=512 * 2**20):
     """device_put every array leaf onto ``dev``, splitting leaves larger
     than ``chunk_bytes`` into row chunks (the tunneled backend's transfer
@@ -195,6 +222,8 @@ class Evaluator:
             self.dense_logits: Dict[str, np.ndarray] = {}
             if dense_params is not None:
                 self._cache_dense_logits(dense_params)
+                _malloc_trim()
+                _logmem("dense logits cached")
             if proxies is None:
                 # factories: stack_proxies builds + frees one per-bit proxy
                 # at a time (three 7B proxies + their stacked copies would
@@ -205,9 +234,11 @@ class Evaluator:
                 meta = jnp.dtype(os.environ.get(
                     "AMQ_EVAL_META_DTYPE", "bfloat16"))
                 dp = dense_params
+                dev = self._model_device()
                 proxies = [
                     (lambda b=b: transform.quantize_model(
-                        dp, cfg, b, group_size, meta_dtype=meta))
+                        dp, cfg, b, group_size, meta_dtype=meta,
+                        device=dev))
                     for b in self.bits_range
                 ]
                 # search mode never touches the dense model again
@@ -219,6 +250,9 @@ class Evaluator:
             self.switch_params = stacked_mod.stack_proxies(
                 proxies, self.bits_range, fuse="never",
                 device=self._model_device())
+            del proxies, dense_params
+            _malloc_trim()
+            _logmem("proxies stacked")
             if self.mesh is not None:
                 # replicate the packed stacks over the mesh (quantize may
                 # have committed them to one device; mixed placement with
@@ -304,6 +338,7 @@ class Evaluator:
         budget = float(os.environ.get("AMQ_DENSE_CHUNK_GIB", "6")) * 2**30
         per = max(1, int(budget // max(layer_bytes, 1)))
 
+        _logmem("chunked_dense_pass: start")
         emb = jax.jit(lambda e, t: e[t].astype(self.compute_dtype))
         chunk_fn = jax.jit(
             lambda m, x: llama.forward_dense_chunk(
@@ -341,6 +376,7 @@ class Evaluator:
                 toks_dev[name].append(tb)
                 valid[name].append(n_valid)
 
+        _logmem("chunked_dense_pass: embedded")
         for lo in range(0, L, per):
             # stack_dense runs on the host (its inputs are committed host
             # arrays); stage the chunk onto the device ONCE — a host-
@@ -349,9 +385,14 @@ class Evaluator:
                 llama.stack_dense(params, lo, min(lo + per, L)), dev)
             for name in acts:
                 acts[name] = [chunk_fn(chunk, x) for x in acts[name]]
+                jax.block_until_ready(acts[name])
             # free the chunk before staging the next one
             del chunk
+            _malloc_trim()
+            _logmem(f"chunked_dense_pass: layers [{lo},"
+                    f"{min(lo + per, L)}) done")
 
+        _logmem("chunked_dense_pass: head phase")
         fn_dev = jax.device_put(params["final_norm"], dev)
         head_w = params.get("lm_head")
         head_dev = (None if head_w is None

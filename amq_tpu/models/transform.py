@@ -34,14 +34,22 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
                    arch_or_bits, group_size: int = 128,
                    optimize: bool = True,
                    superblock: int = 0,
-                   meta_dtype=None) -> Dict[str, Any]:
+                   meta_dtype=None,
+                   device=None) -> Dict[str, Any]:
     """Quantize every decoder linear; embeddings/norms/lm_head stay dense.
 
     ``superblock`` caps the planar packing block (pass the tensor-parallel
     shard granularity when the model will be K-sharded).  ``meta_dtype``
     sets the scale/zero storage dtype (see core.quantize.quantize);
     bfloat16 for serving proxies, float32 (default) for eval parity.
+
+    ``device``: stage each weight there before quantizing.  Host-resident
+    7B+ params are COMMITTED to the cpu device, which pins the jitted
+    quantize (incl. the 20-iteration proximal solver) to the CPU backend
+    — ~40 min and tens of GB of host arena churn at 7B; staged on the
+    accelerator it is seconds per layer.
     """
+    import jax
     import jax.numpy as jnp
     meta_dtype = meta_dtype or jnp.float32
     arch = (uniform_arch(cfg, arch_or_bits)
@@ -53,7 +61,10 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
         for name in LINEAR_NAMES:
             p = layer[name]
             assert isinstance(p, DenseLinear), (name, type(p))
-            qt = qcore.quantize(p.weight, nbits=int(arch["linear"][name][i]),
+            w = p.weight
+            if device is not None:
+                w = jax.device_put(w, device)
+            qt = qcore.quantize(w, nbits=int(arch["linear"][name][i]),
                                 group_size=group_size, optimize=optimize,
                                 superblock=superblock or None,
                                 meta_dtype=meta_dtype)

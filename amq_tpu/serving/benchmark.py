@@ -25,20 +25,27 @@ import numpy as np
 from .engine import Engine
 
 
-def device_peak_gib() -> float:
-    """Peak device bytes (reference: torch.cuda.max_memory_allocated,
-    utils/speed.py:243-244).  The axon backend returns no memory_stats —
-    fall back to live on-device array bytes (a lower bound of peak)."""
+def device_peak_info() -> tuple:
+    """(GiB, kind): peak device bytes when the backend exposes
+    memory_stats (kind='peak' — apples-to-apples with the reference's
+    torch.cuda.max_memory_allocated, utils/speed.py:243-244), else live
+    on-device array bytes (kind='live_lower_bound' — NOT a peak; the
+    axon backend returns no memory_stats)."""
     try:
         stats = jax.local_devices()[0].memory_stats()
         if stats:
-            return stats.get("peak_bytes_in_use", 0) / 1024**3
+            return stats.get("peak_bytes_in_use", 0) / 1024**3, "peak"
     except Exception:
         pass
     try:
-        return sum(a.nbytes for a in jax.live_arrays()) / 1024**3
+        return (sum(a.nbytes for a in jax.live_arrays()) / 1024**3,
+                "live_lower_bound")
     except Exception:
-        return float("nan")
+        return float("nan"), "unavailable"
+
+
+def device_peak_gib() -> float:
+    return device_peak_info()[0]
 
 
 def benchmark_speed(engine: Engine, mode: str = "TPS", prompt_len: int = 64,

@@ -304,7 +304,10 @@ def main():
     prefill_mfu = None
     if os.environ.get("BENCH_PREFILL_MFU", "1") == "1":
         S_MFU = int(os.environ.get("BENCH_MFU_PROMPT", "2048"))
-        eng_p = Engine(model, cfg, batch_size=1, max_len=S_MFU + 8,
+        # max_len 64-aligned: the flash prefill kernel requires T % 64 == 0
+        # (llama._flash_ok) — at +8 the 2048-prefill silently fell back to
+        # the einsum path (540 MB score materialization, 29% MFU)
+        eng_p = Engine(model, cfg, batch_size=1, max_len=S_MFU + 64,
                        compute_dtype=jnp.bfloat16, use_pallas=USE_PALLAS)
         long_prompt = rng.integers(0, cfg.vocab_size,
                                    (1, S_MFU)).astype(np.int32)
