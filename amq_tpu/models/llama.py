@@ -190,12 +190,8 @@ def attention_append(q, k_c, v_c, k_new, v_new, offset, S: int, T: int,
             k_c, k_new.astype(k_c.dtype), offset, axis=2)
         v_buf = jax.lax.dynamic_update_slice_in_dim(
             v_c, v_new.astype(v_c.dtype), offset, axis=2)
-        # the kernel tiles T by 64; zero-pad tails are causally masked
-        # (pad positions sit beyond every query's offset+i reach)
-        pad_t = -T % 64
-        if pad_t:
-            k_buf = jnp.pad(k_buf, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
-            v_buf = jnp.pad(v_buf, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        # unaligned T is zero-padded to the k-tile inside flash_attention
+        # (pads are causally masked: they sit beyond offset + S - 1)
         from ..ops.flash_attention import flash_attention
         qt = jnp.transpose(q, (0, 2, 1, 3))          # [B,Hq,S,d]
         out = flash_attention(qt, k_buf.astype(compute_dtype),
@@ -232,10 +228,6 @@ def attention(q, k, v, mask, offset, S: int, T: int, cfg: ModelConfig,
     """
     if _flash_ok(S, T, cfg):
         from ..ops.flash_attention import flash_attention
-        pad_t = -T % 64
-        if pad_t:
-            k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
-            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
         qt = jnp.transpose(q, (0, 2, 1, 3))          # [B,Hq,S,d]
         out = flash_attention(qt, k, v, offset)
         return jnp.transpose(out, (0, 2, 1, 3)).astype(compute_dtype)

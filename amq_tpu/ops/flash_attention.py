@@ -112,8 +112,18 @@ def flash_attention(
     _, Hkv, T, _ = k.shape
     G = Hq // Hkv
     bq = min(block_q, S)
-    bk = min(block_k, T)
-    assert S % bq == 0 and T % bk == 0, (S, bq, T, bk)
+    assert S % bq == 0, (S, bq)
+    # Zero-pad T up to a k-tile multiple: pad keys score 0 and are then
+    # causally masked (pad positions sit beyond offset + S - 1, the
+    # highest query position — call sites guarantee offset + S <= T);
+    # pad values then receive weight exp(-inf)=0.
+    bk = min(block_k, -(-T // 64) * 64)
+    pad_t = -T % bk
+    if pad_t:
+        assert causal, "non-causal flash requires T % bk == 0"
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        T += pad_t
     scale = 1.0 / (d ** 0.5)
     if offset is None:
         offset = jnp.int32(0)
