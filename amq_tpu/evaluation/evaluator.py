@@ -177,6 +177,7 @@ class Evaluator:
         logit_gib = (self.batch_size * seqlen * cfg.vocab_size * 4) / 2**30
         jsd_chunk = int(os.environ.get(
             "AMQ_JSD_CHUNK", "256" if logit_gib > 1.0 else "0"))
+        self._jsd_chunk = jsd_chunk   # sensitivity suffix path reuses it
         # big-vocab models additionally (a) emit the student logits bf16
         # (cast fused into the head matmul; JSD upcasts per chunk) and
         # (b) cap the loss batch so one f32 [B, S, V] is <= 1 GiB — at

@@ -8,6 +8,17 @@ table (the search uses it to pin layers whose loss exceeds
 
 The output dict schema matches the reference sensitivity JSON so archives
 are interchangeable.
+
+Two evaluation strategies:
+
+* ``suffix`` (default in search mode): every probe arch is identical to
+  the all-4 baseline up to its probe block, so its activations are too —
+  the probe resumes from the baseline's cached block-b input and runs
+  only blocks ``b..L`` (models/stacked.forward_stacked_suffix).  Total
+  block-compute drops to ``(sum_b P*(L-b) + L) / (P*L*L)`` ~ 52% of the
+  naive stage at L=32, with bit-identical losses (parity-tested).  The
+  reference re-runs the full forward per probe (amq_sensitivity.py:49-63).
+* naive: full forward per probe via Evaluator.eval_many / eval.
 """
 
 from __future__ import annotations
@@ -15,8 +26,75 @@ from __future__ import annotations
 import time
 from typing import Dict, Optional
 
+import numpy as np
+
 from ..models.config import LINEAR_NAMES, ModelConfig
 from .evaluator import Evaluator
+
+
+def _suffix_losses(ev: Evaluator, dataset: str, keys, probes, base,
+                   n_block: int, progress: bool) -> Dict[str, float]:
+    """Suffix-evaluated probe losses (see module docstring)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.stacked import forward_stacked_suffix, scan_layers
+    from . import metrics
+
+    cfg = ev.cfg
+    P = len(LINEAR_NAMES)
+    m = ev._stacked.set_arch(ev.switch_params, base)    # all-4 baseline
+    sel_by_block = [ev._select_stack(probes[b * P:(b + 1) * P])
+                    for b in range(n_block)]
+
+    jsd_chunk = ev._jsd_chunk
+    loss_dtype = ev._loss_dtype
+    cd = ev.compute_dtype
+
+    @jax.jit
+    def embed_fn(mm, t):
+        return mm.embed[t].astype(cd)
+
+    @jax.jit
+    def advance(mm, x, b):
+        # apply block b at baseline bits (cond-skips every other layer)
+        return scan_layers(mm, cfg, x, compute_dtype=cd,
+                           start_layer=b, stop_layer=b + 1)[0]
+
+    @jax.jit
+    def probe_losses(mm, sels, x, dense, b):
+        def one(s):
+            logits = forward_stacked_suffix(
+                dataclasses.replace(mm, select=s), cfg, x, b,
+                compute_dtype=cd).astype(loss_dtype)
+            return metrics.jsd_shifted_per_sample(logits, dense,
+                                                  chunk=jsd_chunk)
+        return jax.lax.map(one, sels)                       # [P, B]
+
+    toks = ev.datasets[dataset]
+    dense_logits = ev.dense_logits[dataset]
+    sums = np.zeros((n_block, P))
+    batches = list(ev._batches(toks, batch_size=ev._loss_batch))
+    starts = np.cumsum([0] + [nv for _, nv in batches])[:-1]
+    for bi, ((batch, n_valid), st) in enumerate(zip(batches, starts)):
+        tb = ev._shard_tokens(jnp.asarray(batch))
+        dense = ev._dense_batch(dense_logits, int(st), n_valid,
+                                batch.shape[0], cache_key=dataset)
+        x = embed_fn(m, tb)
+        for b in range(n_block):
+            vals = np.asarray(probe_losses(m, sel_by_block[b], x, dense,
+                                           jnp.int32(b)))
+            sums[b] += vals[:, :n_valid].sum(axis=1)
+            if b + 1 < n_block:
+                x = advance(m, x, jnp.int32(b))
+        if progress:
+            print(f"sensitivity batch {bi + 1}/{len(batches)} "
+                  f"({st + n_valid}/{toks.shape[0]} samples)", flush=True)
+    total = toks.shape[0]
+    return {keys[b * P + j]: float(sums[b, j] / total)
+            for b in range(n_block) for j in range(P)}
 
 
 def linear_sensitivity(
@@ -25,6 +103,7 @@ def linear_sensitivity(
     max_bits: int = 4,
     probe_bits: int = 2,
     progress: bool = False,
+    suffix: Optional[bool] = None,
 ) -> Dict:
     import copy
 
@@ -40,24 +119,30 @@ def linear_sensitivity(
             a["linear"][linear_group][block_idx] = probe_bits
             probes.append(a)
 
-    loss_list: Dict[str, float] = {}
+    if suffix is None:
+        suffix = bool(getattr(evaluator, "search", False))
     start = time.time()
-    many = getattr(evaluator, "eval_many", None)
-    if many is not None and getattr(evaluator, "search", False):
-        # batched probes: k archs per dispatch (evaluator.eval_many)
-        tile = 8
-        for ci in range(0, len(probes), tile):
-            for key, (metric, _) in zip(
-                    keys[ci:ci + tile], many(probes[ci:ci + tile])):
+    loss_list: Dict[str, float] = {}
+    if suffix and getattr(evaluator, "search", False):
+        loss_list = _suffix_losses(evaluator, dataset, keys, probes, base,
+                                   n_block, progress)
+    else:
+        many = getattr(evaluator, "eval_many", None)
+        if many is not None and getattr(evaluator, "search", False):
+            # batched probes: k archs per dispatch (evaluator.eval_many)
+            tile = 8
+            for ci in range(0, len(probes), tile):
+                for key, (metric, _) in zip(
+                        keys[ci:ci + tile], many(probes[ci:ci + tile])):
+                    loss_list[key] = metric[dataset]
+                    if progress:
+                        print(f"{key}: {loss_list[key]:.6f}", flush=True)
+        else:
+            for key, a in zip(keys, probes):
+                metric, _ = evaluator.eval(a)
                 loss_list[key] = metric[dataset]
                 if progress:
                     print(f"{key}: {loss_list[key]:.6f}", flush=True)
-    else:
-        for key, a in zip(keys, probes):
-            metric, _ = evaluator.eval(a)
-            loss_list[key] = metric[dataset]
-            if progress:
-                print(f"{key}: {loss_list[key]:.6f}", flush=True)
 
     return {
         "loss": loss_list,

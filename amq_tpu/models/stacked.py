@@ -619,6 +619,8 @@ def scan_layers(
     offset=None,
     compute_dtype=jnp.bfloat16,
     tp_axis: Optional[str] = None,
+    start_layer=None,
+    stop_layer=None,
 ):
     """The decoder-layer scan only (no embed / final norm / head).
 
@@ -628,6 +630,13 @@ def scan_layers(
     k_app/v_app are the APPENDED keys/values ``[L, B, kv, S, hd]`` in the
     cache dtype — the caller writes them into the cache once, outside the
     layer scan (forward_stacked / pp.py).
+
+    ``start_layer``/``stop_layer`` (dynamic int32 scalars) cond-skip the
+    layers outside ``[start, stop)`` — the skipped layers stream no
+    weights and run no FLOPs, only the per-layer cond.  Used by the
+    sensitivity suffix evaluation (a probe arch differing from a baseline
+    only at block b resumes from the baseline's cached block-b input).
+    No-cache path only.
     """
     B, S, _ = x.shape
     hd = cfg.head_dim_
@@ -748,9 +757,38 @@ def scan_layers(
             x, k_app, v_app = layer_body(i, x, None)
         return x, ((k_app, v_app) if has_cache else None)
 
+    if start_layer is not None or stop_layer is not None:
+        assert cache_kv is None, "layer bounds: no-cache (eval) path only"
+        inner_fn = layer_fn
+
+        def layer_fn(x, i):  # noqa: F811
+            lo = jnp.int32(0) if start_layer is None else start_layer
+            hi = (jnp.int32(model.num_layers) if stop_layer is None
+                  else stop_layer)
+            return jax.lax.cond(
+                jnp.logical_and(i >= lo, i < hi),
+                lambda op: inner_fn(op[0], op[1]),
+                lambda op: (op[0], None), (x, i))
+
     layer_idx = jnp.arange(model.num_layers, dtype=jnp.int32)
     x, kv_app = jax.lax.scan(layer_fn, x, layer_idx)
     return x, kv_app
+
+
+def forward_stacked_suffix(model: StackedModel, cfg: ModelConfig,
+                           x: jnp.ndarray, start_layer,
+                           compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Logits from a cached block input: ``x`` [B, S, H] is the residual
+    stream entering block ``start_layer``; blocks below it are cond-
+    skipped (no weight DMA, no FLOPs).  With ``x`` from the baseline
+    model, identical math to ``forward_stacked`` of an arch differing
+    from the baseline only at blocks >= ``start_layer`` — the sensitivity
+    stage's suffix evaluation (the per-probe cost drops from L to
+    ``L - b`` blocks; ~48% of the 224-probe stage at L=32)."""
+    x, _ = scan_layers(model, cfg, x, compute_dtype=compute_dtype,
+                       start_layer=start_layer)
+    x = llama.rms_norm(x, model.final_norm, cfg.rms_norm_eps)
+    return apply_head(model, x, compute_dtype).astype(jnp.float32)
 
 
 def forward_stacked(

@@ -57,6 +57,15 @@ _BF16_128 = 0x43004300
 #: entry, so it gets a minimal placeholder
 _DUMMY_SCRATCH = pltpu.VMEM((8, 128), jnp.bfloat16)
 
+#: superblocks per decode grid step (AMQ_KSUB, power of two).  Each extra
+#: slab amortizes the per-grid-step fixed cost (semaphores / revolving-
+#: buffer switch, ~0.3 us measured) over another sb*bn dot while keeping
+#: each codes operand at [sb, bn]; sites whose K isn't divisible fall back
+#: per-site.  In-model measurement: docs/ROADMAP.md round 3.
+import os as _os  # noqa: E402
+
+_KSUB_DEFAULT = int(_os.environ.get("AMQ_KSUB", "1"))
+
 
 def _extract_pairs_bf16(words, field_bits, shifts):
     """Pair extraction: ``[R, bn]`` uint32 -> list of bf16 ``[2R, bn]``.
@@ -427,7 +436,7 @@ def _quant_matmul_packed(
 
 def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
                         *, nbits, group_size, groups_per_tile, acc_dtype,
-                        single_m, m_real=None, meta_full=False):
+                        single_m, m_real=None, meta_full=False, k_sub=1):
     del idx_ref  # consumed by the index maps
     k = pl.program_id(1)
     m = pl.program_id(2)
@@ -438,16 +447,25 @@ def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
 
     T = groups_per_tile
     bn = o_ref.shape[1]
-    s_blk = _meta_tile(s_ref, k, T, meta_full, stacked=True)
-    z_blk = _meta_tile(z_ref, k, T, meta_full, stacked=True)
+    s_blk = _meta_tile(s_ref, k, T * k_sub, meta_full, stacked=True)
+    z_blk = _meta_tile(z_ref, k, T * k_sub, meta_full, stacked=True)
 
     if single_m and acc_dtype == jnp.bfloat16:
         # serving GEMV: block-diagonal grouped path (extraction-only VPU
-        # cost); the f32 eval path keeps the exact fma dequant below
-        y = _gemv_blockdiag(x_ref[:], w_ref[0], s_blk, z_blk,
-                            nbits, group_size, T, bn,
-                            acc_dtype=acc_dtype, m_real=m_real)
-        o_ref[:] += y.astype(o_ref.dtype)
+        # cost); the f32 eval path keeps the exact fma dequant below.
+        # k_sub > 1 packs several superblocks into one grid step (fewer
+        # steps -> less per-step fixed cost); each slab keeps its own
+        # [sb, bn] dot so the codes operand stays VMEM-small.
+        bk = T * group_size
+        rpt = w_ref.shape[1] // k_sub
+        for j in range(k_sub):
+            y = _gemv_blockdiag(
+                x_ref[:, j * bk:(j + 1) * bk],
+                w_ref[0, j * rpt:(j + 1) * rpt],
+                s_blk[j * T:(j + 1) * T], z_blk[j * T:(j + 1) * T],
+                nbits, group_size, T, bn,
+                acc_dtype=acc_dtype, m_real=m_real)
+            o_ref[:] += y.astype(o_ref.dtype)
         return
     if single_m or pl.num_programs(2) == 1:
         # one m tile -> dequant feeds the dot as a value (see _qmm_kernel)
@@ -520,23 +538,31 @@ def quant_matmul_indexed(
     bm = M + m_pad if M <= 8 else _pick_tile(M, (256, 128, 64, 32, 16, 8))
     if m_pad and M <= 8:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
-    grid = (Np // bn, Kp // bk, x.shape[0] // bm)
 
-    single_m = grid[2] == 1 and bm <= 8
+    single_m = (x.shape[0] // bm) == 1 and bm <= 8
     meta_full = T < 8        # see _meta_tile
+    # pack several superblocks per decode grid step (see kernel docstring)
+    k_sub = 1
+    if single_m and acc_dtype == jnp.bfloat16 and not meta_full:
+        want = _KSUB_DEFAULT
+        while want > 1 and (Kp // bk) % want:
+            want //= 2
+        k_sub = max(1, want)
+    grid = (Np // bn, Kp // (bk * k_sub), x.shape[0] // bm)
+
     kernel = functools.partial(
         _qmm_kernel_stacked, nbits=nbits, group_size=g,
         groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m,
-        m_real=M if single_m else None, meta_full=meta_full)
+        m_real=M if single_m else None, meta_full=meta_full, k_sub=k_sub)
 
     if meta_full:
         scale4, zero4 = scale_stack, zero_stack     # [L, K/g, N]
         meta_spec = pl.BlockSpec((1, Kp // g, bn),
                                  lambda n, k, m, idx: (idx[0], 0, n))
     else:
-        scale4 = scale_stack.reshape(L, Kp // bk, T, Np)
-        zero4 = zero_stack.reshape(L, Kp // bk, T, Np)
-        meta_spec = pl.BlockSpec((1, 1, T, bn),
+        scale4 = scale_stack.reshape(L, Kp // (bk * k_sub), T * k_sub, Np)
+        zero4 = zero_stack.reshape(L, Kp // (bk * k_sub), T * k_sub, Np)
+        meta_spec = pl.BlockSpec((1, 1, T * k_sub, bn),
                                  lambda n, k, m, idx: (idx[0], k, 0, n))
     idx = jnp.asarray(layer, jnp.int32).reshape(1)
 
@@ -544,8 +570,8 @@ def quant_matmul_indexed(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda n, k, m, idx: (m, k)),
-            pl.BlockSpec((1, rows_per_tile, bn),
+            pl.BlockSpec((bm, bk * k_sub), lambda n, k, m, idx: (m, k)),
+            pl.BlockSpec((1, rows_per_tile * k_sub, bn),
                          lambda n, k, m, idx: (idx[0], k, n)),
             meta_spec,
             meta_spec,
@@ -575,7 +601,7 @@ def quant_matmul_indexed(
 def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
                        scratch,
                        *, nbits, group_size, groups_per_tile, acc_dtype,
-                       single_m, m_real=None, meta_full=False):
+                       single_m, m_real=None, meta_full=False, k_sub=1):
     """down-proj with the SwiGLU activation fused into the x prologue:
     x_tile = silu(gate_tile) * up_tile computed in-kernel, removing the
     elementwise XLA op (and pipeline boundary) between gate/up and down."""
@@ -589,19 +615,26 @@ def _qmm_kernel_swiglu(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref, o_ref,
 
     T = groups_per_tile
     bn = o_ref.shape[1]
-    s_blk = _meta_tile(s_ref, k, T, meta_full, stacked=True)
-    z_blk = _meta_tile(z_ref, k, T, meta_full, stacked=True)
+    s_blk = _meta_tile(s_ref, k, T * k_sub, meta_full, stacked=True)
+    z_blk = _meta_tile(z_ref, k, T * k_sub, meta_full, stacked=True)
 
     g = g_ref[:].astype(jnp.float32)
     x = (g * jax.nn.sigmoid(g) * u_ref[:].astype(jnp.float32)).astype(acc_dtype)
 
     if single_m and acc_dtype == jnp.bfloat16:
         # serving GEMV: block-diagonal grouped path (extraction-only VPU
-        # cost); the f32 eval path keeps the exact fma dequant below
-        y = _gemv_blockdiag(x, w_ref[0], s_blk, z_blk,
-                            nbits, group_size, T, bn,
-                            acc_dtype=acc_dtype, m_real=m_real)
-        o_ref[:] += y.astype(o_ref.dtype)
+        # cost); the f32 eval path keeps the exact fma dequant below.
+        # k_sub: several superblocks per grid step (see _qmm_kernel_stacked)
+        bk = T * group_size
+        rpt = w_ref.shape[1] // k_sub
+        for j in range(k_sub):
+            y = _gemv_blockdiag(
+                x[:, j * bk:(j + 1) * bk],
+                w_ref[0, j * rpt:(j + 1) * rpt],
+                s_blk[j * T:(j + 1) * T], z_blk[j * T:(j + 1) * T],
+                nbits, group_size, T, bn,
+                acc_dtype=acc_dtype, m_real=m_real)
+            o_ref[:] += y.astype(o_ref.dtype)
         return
     if single_m or pl.num_programs(2) == 1:
         # one m tile -> dequant feeds the dot as a value (see _qmm_kernel)
@@ -671,22 +704,29 @@ def quant_matmul_swiglu_indexed(
     if m_pad and M <= 8:
         gate = jnp.pad(gate, ((0, m_pad), (0, 0)))
         up = jnp.pad(up, ((0, m_pad), (0, 0)))
-    grid = (Np // bn, Kp // bk, gate.shape[0] // bm)
 
-    single_m = grid[2] == 1 and bm <= 8
+    single_m = (gate.shape[0] // bm) == 1 and bm <= 8
     meta_full = T < 8        # see _meta_tile
+    k_sub = 1
+    if single_m and acc_dtype == jnp.bfloat16 and not meta_full:
+        want = _KSUB_DEFAULT
+        while want > 1 and (Kp // bk) % want:
+            want //= 2
+        k_sub = max(1, want)
+    grid = (Np // bn, Kp // (bk * k_sub), gate.shape[0] // bm)
+
     kernel = functools.partial(
         _qmm_kernel_swiglu, nbits=nbits, group_size=g,
         groups_per_tile=T, acc_dtype=acc_dtype, single_m=single_m,
-        m_real=M if single_m else None, meta_full=meta_full)
+        m_real=M if single_m else None, meta_full=meta_full, k_sub=k_sub)
     if meta_full:
         scale4, zero4 = scale_stack, zero_stack     # [L, K/g, N]
         meta_spec = pl.BlockSpec((1, Kp // g, bn),
                                  lambda n, k, m, idx: (idx[0], 0, n))
     else:
-        scale4 = scale_stack.reshape(L, Kp // bk, T, Np)
-        zero4 = zero_stack.reshape(L, Kp // bk, T, Np)
-        meta_spec = pl.BlockSpec((1, 1, T, bn),
+        scale4 = scale_stack.reshape(L, Kp // (bk * k_sub), T * k_sub, Np)
+        zero4 = zero_stack.reshape(L, Kp // (bk * k_sub), T * k_sub, Np)
+        meta_spec = pl.BlockSpec((1, 1, T * k_sub, bn),
                                  lambda n, k, m, idx: (idx[0], k, 0, n))
     idx = jnp.asarray(layer, jnp.int32).reshape(1)
 
@@ -694,9 +734,9 @@ def quant_matmul_swiglu_indexed(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda n, k, m, idx: (m, k)),
-            pl.BlockSpec((bm, bk), lambda n, k, m, idx: (m, k)),
-            pl.BlockSpec((1, rows_per_tile, bn),
+            pl.BlockSpec((bm, bk * k_sub), lambda n, k, m, idx: (m, k)),
+            pl.BlockSpec((bm, bk * k_sub), lambda n, k, m, idx: (m, k)),
+            pl.BlockSpec((1, rows_per_tile * k_sub, bn),
                          lambda n, k, m, idx: (idx[0], k, n)),
             meta_spec,
             meta_spec,

@@ -95,8 +95,8 @@ def build(site, nbits, variant, n_layers):
     rpt = SB * nbits // 32
     rng = jax.random.PRNGKey(0)
     packed = jax.random.bits(rng, (n_layers, rows, N), jnp.uint32)
-    scale = jnp.full((n_layers, K // GROUP, N), 0.01, jnp.bfloat16)
-    zero = jnp.full((n_layers, K // GROUP, N), 3.0, jnp.bfloat16)
+    scale = jnp.full((n_layers, K // SB, SB // GROUP, N), 0.01, jnp.bfloat16)
+    zero = jnp.full((n_layers, K // SB, SB // GROUP, N), 3.0, jnp.bfloat16)
     x = jnp.ones((8, K), jnp.bfloat16)
 
     kern = functools.partial(_kernel, nbits=nbits, variant=variant)

@@ -136,3 +136,61 @@ def test_decode_gemv_bn2560_matches_reference():
     scale = float(jnp.abs(want).max())
     np.testing.assert_allclose(np.asarray(got) / scale,
                                np.asarray(want) / scale, atol=2e-2)
+
+
+@pytest.mark.parametrize("nbits", [2, 3, 4])
+@pytest.mark.parametrize("n_sb", [2, 3])
+def test_decode_gemv_ksub_matches_reference(nbits, n_sb, monkeypatch):
+    """AMQ_KSUB=2: two superblocks per decode grid step (per-step fixed-
+    cost amortization).  n_sb=3 exercises the non-divisible fallback."""
+    from amq_tpu.ops import quant_matmul as qm
+
+    monkeypatch.setattr(qm, "_KSUB_DEFAULT", 2)
+    rng = np.random.default_rng(11 + nbits + n_sb)
+    N, K = 256, 1024 * n_sb
+    W = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32) * 0.02)
+    qt = q.quantize(W, nbits=nbits, group_size=128)
+    assert qt.superblock_ == 1024 and K // qt.superblock_ == n_sb
+    packed = jnp.stack([qt.packed])
+    scale = jnp.stack([qt.scale])
+    zero = jnp.stack([qt.zero])
+    x = jnp.asarray(rng.normal(size=(1, K)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+
+    want = quant_matmul_reference(x, qt, out_dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = qm.quant_matmul_indexed(
+            x, packed, scale, zero, jnp.int32(0),
+            nbits=nbits, group_size=128, shape=(N, K),
+            superblock=qt.superblock_, acc_dtype=jnp.bfloat16,
+            out_dtype=jnp.float32)
+    scale_f = float(jnp.abs(want).max())
+    np.testing.assert_allclose(np.asarray(got) / scale_f,
+                               np.asarray(want) / scale_f, atol=2e-2)
+
+
+def test_swiglu_ksub_matches_composition(monkeypatch):
+    from amq_tpu.ops import quant_matmul as qm
+
+    monkeypatch.setattr(qm, "_KSUB_DEFAULT", 2)
+    rng = np.random.default_rng(13)
+    N, K = 128, 2048
+    qt = q.quantize(jnp.asarray(rng.normal(size=(N, K)).astype(np.float32)
+                                * 0.02), nbits=4)
+    g = (jnp.asarray(rng.normal(size=(1, K)).astype(np.float32))
+         ).astype(jnp.bfloat16)
+    u = (jnp.asarray(rng.normal(size=(1, K)).astype(np.float32))
+         ).astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        got = qm.quant_matmul_swiglu_indexed(
+            g, u, jnp.stack([qt.packed]), jnp.stack([qt.scale]),
+            jnp.stack([qt.zero]), jnp.int32(0),
+            nbits=4, group_size=128, shape=(N, K),
+            superblock=qt.superblock_, acc_dtype=jnp.bfloat16,
+            out_dtype=jnp.float32)
+    act = (jax.nn.silu(g.astype(jnp.float32))
+           * u.astype(jnp.float32)).astype(jnp.bfloat16)
+    want = quant_matmul_reference(act, qt, out_dtype=jnp.float32)
+    scale_f = float(jnp.abs(want).max())
+    np.testing.assert_allclose(np.asarray(got) / scale_f,
+                               np.asarray(want) / scale_f, atol=2e-2)
