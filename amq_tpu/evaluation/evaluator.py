@@ -125,6 +125,8 @@ class Evaluator:
         mesh: Optional[jax.sharding.Mesh] = None,
         compute_dtype=jnp.float32,
         quantize_fn: Optional[Callable] = None,  # (params, cfg, arch, method) -> params
+        dense_logits_device: bool = False,
+        defer_logit_cache: bool = False,
     ):
         self.cfg = cfg
         self.topology = cfg.topology()
@@ -155,6 +157,18 @@ class Evaluator:
             os.environ.get("AMQ_DENSE_CACHE_DTYPE", "float16"))
         self._dense_dev: Dict[Any, jax.Array] = {}
         self._dense_dev_bytes = 0
+        # device-resident logit cache: the dense pass writes per-batch
+        # fp8/fp16 logits STRAIGHT into the device cache, never touching
+        # the host — device->host on the tunneled backend measured
+        # 10-17 MB/s (a 128x2048 7B fp16 gather would take ~25 min),
+        # while the logits are already on device when the head matmul
+        # finishes.  dense_logits[name] stays None in this mode.
+        self.dense_cache_device = bool(dense_logits_device)
+        if self.dense_cache_device:
+            self.dense_cache_dtype = jnp.dtype(os.environ.get(
+                "AMQ_DENSE_CACHE_DTYPE", "float8_e4m3fn"))
+            self.dense_cache_bytes = int(
+                float(os.environ.get("AMQ_DENSE_CACHE_GIB", "10")) * 2**30)
 
         # jitted once; re-used across every arch eval (a fresh jax.jit per
         # call would retrace each of the ~10k search evaluations)
@@ -221,7 +235,8 @@ class Evaluator:
             # stack (13.5 GB) and the three proxy stacks (~7.3 GB) cannot
             # coexist in one chip's HBM
             self.dense_logits: Dict[str, np.ndarray] = {}
-            if dense_params is not None:
+            self._dense_host = None
+            if dense_params is not None and not defer_logit_cache:
                 self._cache_dense_logits(dense_params)
                 _malloc_trim()
                 _logmem("dense logits cached")
@@ -251,6 +266,14 @@ class Evaluator:
             self.switch_params = stacked_mod.stack_proxies(
                 proxies, self.bits_range, fuse="never",
                 device=self._model_device())
+            if defer_logit_cache:
+                # proxies-first ordering: the dense HOST pytree is kept so
+                # cache_dataset can run chunked passes later with the
+                # proxy stacks already resident (7B memory plan: proxies
+                # ~8 GB + one 4 GB weight chunk + acts fits one chip; the
+                # full 128-sample fp8 cache next to the proxies does not,
+                # so the driver caches/frees sample halves)
+                self._dense_host = dense_params
             del proxies, dense_params
             _malloc_trim()
             _logmem("proxies stacked")
@@ -355,12 +378,18 @@ class Evaluator:
         head_lg = jax.jit(
             lambda fn_, hd_, emb_, x:
             head_logits(fn_, hd_, emb_, x).astype(jnp.bfloat16))
+        head_cache8 = jax.jit(
+            lambda fn_, hd_, emb_, x:
+            head_logits(fn_, hd_, emb_, x).astype(self.dense_cache_dtype))
         head_ce = jax.jit(
             lambda fn_, hd_, emb_, x, t:
             metrics.cross_entropy_shifted_per_sample(
                 head_logits(fn_, hd_, emb_, x), t))
 
         B = min(self.batch_size, 4) if self.mesh is None else None
+        if self.dense_cache_device and want == "logits":
+            # device-cache keys/shapes must match the eval loss batches
+            B = self._loss_batch if self.mesh is None else None
         # explicit device_put to the accelerator: jnp.asarray (and a
         # device-less device_put) keep a committed host array on the
         # host, re-shipping it on every jitted call
@@ -401,20 +430,70 @@ class Evaluator:
         out: Dict[str, np.ndarray] = {}
         for name in acts:
             outs = []
+            start = 0
             for x, tb, n_valid in zip(acts[name], toks_dev[name],
                                       valid[name]):
                 if want == "ce":
                     v = head_ce(fn_dev, head_dev, embed_dev, x, tb)[:n_valid]
                     outs.append(np.asarray(v))
+                elif self.dense_cache_device:
+                    # logits go straight into the device cache (padded
+                    # batch shape, matching _dense_batch keys/shapes) —
+                    # dev->host is ~10-17 MB/s on the tunneled backend
+                    dev = head_cache8(fn_dev, head_dev, embed_dev, x)
+                    self._dense_dev[(name, start)] = dev
+                    self._dense_dev_bytes += dev.nbytes
+                    assert self._dense_dev_bytes <= self.dense_cache_bytes, (
+                        "device logit cache over budget: free_dataset() a "
+                        "cached dataset or raise AMQ_DENSE_CACHE_GIB")
                 else:
                     lg = head_lg(fn_dev, head_dev, embed_dev, x)[:n_valid]
                     outs.append(np.asarray(lg).astype(np.float16))
-            out[name] = np.concatenate(outs, axis=0)
+                start += n_valid
+            out[name] = (np.concatenate(outs, axis=0) if outs else None)
         return out
 
     def _cache_dense_logits(self, params) -> None:
         self.dense_logits = self._chunked_dense_pass(
             params, self.datasets, want="logits")
+
+    # -- deferred / device-resident logit-cache management ------------------
+    # (defer_logit_cache=True keeps the dense HOST pytree so sample halves
+    #  can be cached, swept, and freed one at a time — the 7B 128-sample
+    #  fp8 cache does not fit next to the three proxy stacks on one chip)
+
+    def cache_dataset(self, name: str, tokens: Optional[np.ndarray] = None):
+        """Run the dense pass for one dataset now (deferred mode)."""
+        assert self._dense_host is not None, "needs defer_logit_cache=True"
+        if tokens is not None:
+            self.datasets[name] = tokens
+        res = self._chunked_dense_pass(
+            self._dense_host, {name: self.datasets[name]}, want="logits")
+        self.dense_logits[name] = res[name]
+        _malloc_trim()
+        _logmem(f"dense logits cached: {name}")
+
+    def free_dataset(self, name: str):
+        """Drop a dataset's device-cached dense logits."""
+        for k in list(self._dense_dev):
+            if isinstance(k, tuple) and k[0] == name:
+                self._dense_dev_bytes -= self._dense_dev[k].nbytes
+                del self._dense_dev[k]
+        # aliases share buffers, so byte accounting is per key (clamp)
+        self._dense_dev_bytes = max(0, self._dense_dev_bytes)
+        if name in self.dense_logits:
+            self.dense_logits[name] = None   # evicted: eval raises, no
+            # silent host fallback (there is no host copy in device mode)
+
+    def alias_dataset(self, new: str, src: str, n_rows: int):
+        """Expose the first ``n_rows`` of a device-cached dataset under a
+        new name, sharing its pinned logit batches (no recompute)."""
+        B = self._loss_batch
+        assert n_rows % B == 0, (n_rows, B)
+        self.datasets[new] = self.datasets[src][:n_rows]
+        self.dense_logits[new] = None
+        for st in range(0, n_rows, B):
+            self._dense_dev[(new, st)] = self._dense_dev[(src, st)]
 
     def _batched_logits(self, params, tokens: np.ndarray) -> np.ndarray:
         # the dense pass runs at batch <= 4: its 13.5 GB bf16 weight
@@ -458,6 +537,10 @@ class Evaluator:
         key = (cache_key, i) if cache_key is not None else None
         if key is not None and key in self._dense_dev:
             return self._dense_dev[key]
+        if dense_logits is None:
+            raise RuntimeError(
+                f"dense logits for {cache_key!r} are device-resident but "
+                f"row {i} is not cached (freed, or batch-size mismatch)")
         dense = np.asarray(dense_logits[i:i + n_valid], np.float16)
         if n_valid < B:
             dense = np.concatenate(

@@ -1,0 +1,158 @@
+"""Full-scale Llama-2-7B pipeline run on ONE v5e chip (VERDICT r3 item 3).
+
+One process, one Evaluator init (3 proxies built once from host-resident
+dense params):
+
+1. sensitivity — the reference artifact shape: 224 probes (32 blocks x 7
+   linears) at n_sample=128 x seqlen=2048, suffix-evaluated
+   (evaluation/sensitivity.py); JSON schema matches
+   /root/reference/amq/sensitivity/Llama-2-7b-hf_dataset_wikitext2_*.json
+   (its ``time_elapsed``: 377.3 s on an unspecified multi-GPU rig).
+2. search — >= 20 NSGA-II iterations with the reference's loop shape
+   (RBF surrogate, subset-GA candidate selection, iter_N.stats + Pareto
+   PNG checkpoints) on a smaller calibration slice (SEARCH_N_SAMPLE,
+   default 16 — its dense logits are reused from the cache, not
+   recomputed); per-eval cost is printed so the 10,250-eval reference
+   budget (scripts/amq_search.sh:22-25) extrapolates.
+
+Memory plan (16 GB chip): the three 7B proxy stacks (~8 GB) + the full
+128-sample fp8 dense-logit cache (8.4 GB) do not coexist, and dev->host
+is ~10-17 MB/s (no host round-trip possible), so the samples are cached
+ON DEVICE in halves: cache half -> sweep its probes -> free -> next
+(Evaluator defer_logit_cache/dense_logits_device).  Per-half peak:
+proxies 8 + cache 4.2 + one 4 GB dense weight chunk staged at a time.
+
+Weights/tokens are synthetic (hub-less env) — irrelevant for wall-clock
+and machinery evidence; the `--model_path` + `local:` recipe runs the
+same code on real checkpoints.
+
+Env knobs: N_SAMPLE (128), N_HALVES (2), SEARCH_N_SAMPLE (16),
+SEARCH_ITERS (20), SEARCH_DOE (64), SEARCH_N_ITER (25), OUT (benchmarks).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+os.environ.setdefault("AMQ_LOG_MEM", "1")
+os.environ.setdefault("AMQ_DENSE_CHUNK_GIB", "4")
+os.environ.setdefault("AMQ_DENSE_CACHE_GIB", "10")
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from amq_tpu.models import get_config, init_params  # noqa: E402
+from amq_tpu.evaluation import Evaluator  # noqa: E402
+from amq_tpu.evaluation.data import synthetic_tokens  # noqa: E402
+from amq_tpu.evaluation.sensitivity import linear_sensitivity  # noqa: E402
+from amq_tpu.search import Search, SearchSpace, prune_by_sensitivity  # noqa: E402
+
+MODEL = os.environ.get("PIPE_MODEL", "Llama-2-7b-hf")
+N_SAMPLE = int(os.environ.get("N_SAMPLE", "128"))
+N_HALVES = int(os.environ.get("N_HALVES", "2"))
+SEQLEN = int(os.environ.get("SEQLEN", "2048"))
+SEARCH_N = int(os.environ.get("SEARCH_N_SAMPLE", "16"))
+OUT = os.environ.get("OUT", "benchmarks")
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    cfg = get_config(MODEL)
+    cpu = jax.devices("cpu")[0]
+    t0 = time.time()
+    with jax.default_device(cpu):
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    print(f"host init: {time.time()-t0:.0f}s", flush=True)
+
+    toks = synthetic_tokens(cfg.vocab_size, n_sample=N_SAMPLE,
+                            seqlen=SEQLEN, seed=0)
+    per = N_SAMPLE // N_HALVES
+    halves = {f"sens{i}": toks[i * per:(i + 1) * per]
+              for i in range(N_HALVES)}
+    t0 = time.time()
+    ev = Evaluator(cfg, dense_params=params, datasets=dict(halves),
+                   batch_size=8, compute_dtype=jnp.bfloat16,
+                   dense_logits_device=True, defer_logit_cache=True)
+    params = None
+    t_init = time.time() - t0
+    print(f"Evaluator init (3 proxies, logit cache deferred): "
+          f"{t_init:.0f}s", flush=True)
+
+    # ---- stage 2: sensitivity at the reference artifact scale ----
+    t_sens = time.time()
+    tables = []
+    for i, name in enumerate(halves):
+        t0 = time.time()
+        ev.cache_dataset(name)
+        print(f"half {name}: dense logits cached on device in "
+              f"{time.time()-t0:.0f}s "
+              f"({ev._dense_dev_bytes/2**30:.1f} GiB pinned)", flush=True)
+        tables.append(linear_sensitivity(ev, name, progress=True))
+        print(f"half {name}: {len(tables[-1]['loss'])} probes in "
+              f"{tables[-1]['time_elapsed']:.0f}s", flush=True)
+        if i + 1 < len(halves):
+            ev.free_dataset(name)
+    # equal halves -> plain mean reproduces the full-set sample mean
+    loss = {k: float(np.mean([t["loss"][k] for t in tables]))
+            for k in tables[0]["loss"]}
+    table = {
+        "loss": loss,
+        "time_elapsed": time.time() - t_sens,
+        "dataset": "synthetic",
+        "n_block": cfg.num_layers,
+        "linear": tables[0]["linear"],
+        "n_sample": N_SAMPLE,
+        "seqlen": SEQLEN,
+        "strategy": f"suffix, {N_HALVES} device-cached sample halves",
+    }
+    n_probe = len(loss)
+    sens_path = os.path.join(
+        OUT, "sensitivity",
+        f"{cfg.name}_dataset_synthetic_n_sample_{N_SAMPLE}"
+        f"_seqlen_{SEQLEN}.json")
+    os.makedirs(os.path.dirname(sens_path), exist_ok=True)
+    with open(sens_path, "w") as f:
+        json.dump(table, f)
+    print(f"sensitivity: {n_probe} probes x {N_SAMPLE}x{SEQLEN} in "
+          f"{table['time_elapsed']:.1f}s "
+          f"({table['time_elapsed']/n_probe:.2f} s/probe incl. logit "
+          f"caching; reference artifact: 377.3 s multi-GPU) "
+          f"-> {sens_path}", flush=True)
+
+    # ---- stage 3: search (>= 20 iterations, reference loop shape) ----
+    # reuse the final half's device-cached logits for the search slice
+    last = list(halves)[-1]
+    ev.alias_dataset("search", last, SEARCH_N)
+    # eval_many evaluates every dataset in ev.datasets — drop the
+    # sensitivity halves (one is freed) so the search only pays "search"
+    ev.datasets = {"search": ev.datasets["search"]}
+    pass_list = prune_by_sensitivity(table, 2.0)
+    print(f"pass_linear_list ({len(pass_list)}): {pass_list}", flush=True)
+    space = SearchSpace(cfg.topology(), group_size=128,
+                        pass_linear_list=pass_list,
+                        rng=np.random.default_rng(0))
+    save_path = os.path.join(OUT, "search_7b")
+    search = Search(
+        ev, space, dataset="search",
+        iterations=int(os.environ.get("SEARCH_ITERS", "20")),
+        n_doe=int(os.environ.get("SEARCH_DOE", "64")),
+        n_iter=int(os.environ.get("SEARCH_N_ITER", "25")),
+        save_iter=2, predictor="rbf", ga_pop_size=200,
+        subset_pop_size=100, crossover_prob=0.9, mut_prob=0.1,
+        max_value=10.0, save_path=save_path, seed=0)
+    t0 = time.time()
+    search.search()
+    print(f"search wall: {time.time()-t0:.0f}s -> {save_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

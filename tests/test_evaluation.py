@@ -227,3 +227,47 @@ def test_sensitivity_paths_agree(setup):
             table_seq["loss"][k], rel=1e-5, abs=1e-7)
         assert table_suffix["loss"][k] == pytest.approx(
             table_seq["loss"][k], rel=1e-4, abs=1e-6)
+
+
+def test_device_resident_cache_matches_host(setup):
+    """defer_logit_cache + dense_logits_device: the dense pass writes
+    per-batch logits straight into the device cache (dev->host on the
+    tunneled backend is ~10-17 MB/s — a 7B 128-sample gather would take
+    ~25 min).  Same eval results as the host-cached mode, plus
+    cache_dataset / alias_dataset / free_dataset lifecycle."""
+    cfg, params, _ = setup
+    toks = synthetic_tokens(cfg.vocab_size, n_sample=4, seqlen=64, seed=3)
+    ev_host = Evaluator(cfg, dense_params=params,
+                        datasets={"synthetic": toks}, batch_size=2)
+    ev_dev = Evaluator(cfg, dense_params=params,
+                       datasets={"synthetic": toks}, batch_size=2,
+                       dense_logits_device=True, defer_logit_cache=True)
+    ev_dev.dense_cache_dtype = jnp.dtype(jnp.float16)  # match host fp16
+    assert ev_dev.dense_logits.get("synthetic") is None
+    ev_dev.cache_dataset("synthetic")
+    assert ev_dev.dense_logits["synthetic"] is None          # device-only
+    assert ev_dev._dense_dev_bytes > 0
+
+    arch = _uniform(cfg, 3)
+    m_host, _ = ev_host.eval(arch)
+    m_dev, _ = ev_dev.eval(arch)
+    assert m_dev["synthetic"] == pytest.approx(m_host["synthetic"],
+                                               rel=1e-4, abs=1e-6)
+
+    # suffix sensitivity over the device cache.  rel 1e-3: the host path
+    # rounds f32 head logits through bf16 before its fp16 store, the
+    # device path casts f32 -> fp16 directly (one rounding fewer)
+    t_host = linear_sensitivity(ev_host, "synthetic")
+    t_dev = linear_sensitivity(ev_dev, "synthetic")
+    for k in t_host["loss"]:
+        assert t_dev["loss"][k] == pytest.approx(t_host["loss"][k],
+                                                 rel=1e-3, abs=1e-5)
+
+    # alias: first 2 rows share the pinned batches (no recompute)
+    ev_dev.alias_dataset("slice", "synthetic", 2)
+    m_slice, _ = ev_dev.eval_many([arch])[0]
+    assert "slice" in m_slice
+    # free: evicted rows must raise, not silently recompute wrong
+    ev_dev.free_dataset("synthetic")
+    with pytest.raises(RuntimeError):
+        ev_dev.eval(arch)
