@@ -64,14 +64,18 @@ def _suffix_losses(ev: Evaluator, dataset: str, keys, probes, base,
                            start_layer=b, stop_layer=b + 1)[0]
 
     @jax.jit
-    def probe_losses(mm, sels, x, dense, b):
-        def one(s):
-            logits = forward_stacked_suffix(
-                dataclasses.replace(mm, select=s), cfg, x, b,
-                compute_dtype=cd).astype(loss_dtype)
-            return metrics.jsd_shifted_per_sample(logits, dense,
-                                                  chunk=jsd_chunk)
-        return jax.lax.map(one, sels)                       # [P, B]
+    def probe_loss(mm, sel, x, dense, b):
+        # ONE probe per dispatch: the lax.map-over-7-probes variant OOMed
+        # a 16 GB chip at 7B next to the proxy stacks + fp8 logit cache
+        # (XLA's map buffering), while this program is the proven
+        # _loss_step shape plus the cond-suffix wrapper.  Dispatches stay
+        # async (results are synced per batch, not per probe), so the
+        # ~25 ms tunnel dispatch overlaps device work.
+        logits = forward_stacked_suffix(
+            dataclasses.replace(mm, select=sel), cfg, x, b,
+            compute_dtype=cd).astype(loss_dtype)
+        return metrics.jsd_shifted_per_sample(logits, dense,
+                                              chunk=jsd_chunk)
 
     toks = ev.datasets[dataset]
     dense_logits = ev.dense_logits[dataset]
@@ -83,12 +87,17 @@ def _suffix_losses(ev: Evaluator, dataset: str, keys, probes, base,
         dense = ev._dense_batch(dense_logits, int(st), n_valid,
                                 batch.shape[0], cache_key=dataset)
         x = embed_fn(m, tb)
+        pend = []                       # (b, j, [B] device array)
         for b in range(n_block):
-            vals = np.asarray(probe_losses(m, sel_by_block[b], x, dense,
-                                           jnp.int32(b)))
-            sums[b] += vals[:, :n_valid].sum(axis=1)
+            sels = sel_by_block[b]
+            for j in range(P):
+                sel_j = {k: v[j] for k, v in sels.items()}
+                pend.append((b, j, probe_loss(m, sel_j, x, dense,
+                                              jnp.int32(b))))
             if b + 1 < n_block:
                 x = advance(m, x, jnp.int32(b))
+        for b, j, v in pend:            # sync once per batch
+            sums[b, j] += np.asarray(v)[:n_valid].sum()
         if progress:
             print(f"sensitivity batch {bi + 1}/{len(batches)} "
                   f"({st + n_valid}/{toks.shape[0]} samples)", flush=True)

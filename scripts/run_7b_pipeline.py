@@ -88,8 +88,14 @@ def main():
           f"{t_init:.0f}s", flush=True)
 
     # ---- stage 2: sensitivity at the reference artifact scale ----
+    sens_path = os.path.join(
+        OUT, "sensitivity",
+        f"{cfg.name}_dataset_synthetic_n_sample_{N_SAMPLE}"
+        f"_seqlen_{SEQLEN}.json")
+    os.makedirs(os.path.dirname(sens_path), exist_ok=True)
     t_sens = time.time()
     tables = []
+    table = None
     for i, name in enumerate(halves):
         t0 = time.time()
         ev.cache_dataset(name)
@@ -101,27 +107,26 @@ def main():
               f"{tables[-1]['time_elapsed']:.0f}s", flush=True)
         if i + 1 < len(halves):
             ev.free_dataset(name)
-    # equal halves -> plain mean reproduces the full-set sample mean
-    loss = {k: float(np.mean([t["loss"][k] for t in tables]))
-            for k in tables[0]["loss"]}
-    table = {
-        "loss": loss,
-        "time_elapsed": time.time() - t_sens,
-        "dataset": "synthetic",
-        "n_block": cfg.num_layers,
-        "linear": tables[0]["linear"],
-        "n_sample": N_SAMPLE,
-        "seqlen": SEQLEN,
-        "strategy": f"suffix, {N_HALVES} device-cached sample halves",
-    }
-    n_probe = len(loss)
-    sens_path = os.path.join(
-        OUT, "sensitivity",
-        f"{cfg.name}_dataset_synthetic_n_sample_{N_SAMPLE}"
-        f"_seqlen_{SEQLEN}.json")
-    os.makedirs(os.path.dirname(sens_path), exist_ok=True)
-    with open(sens_path, "w") as f:
-        json.dump(table, f)
+        # incremental artifact: equal slices -> plain mean over completed
+        # slices is the sample mean so far (wall-clock-safe checkpoints)
+        loss = {k: float(np.mean([t["loss"][k] for t in tables]))
+                for k in tables[0]["loss"]}
+        table = {
+            "loss": loss,
+            "time_elapsed": time.time() - t_sens,
+            "dataset": "synthetic",
+            "n_block": cfg.num_layers,
+            "linear": tables[0]["linear"],
+            "n_sample": (i + 1) * per,
+            "n_sample_target": N_SAMPLE,
+            "seqlen": SEQLEN,
+            "strategy": f"suffix, {N_HALVES} device-cached sample slices",
+        }
+        with open(sens_path, "w") as f:
+            json.dump(table, f)
+        print(f"[checkpoint] {sens_path} @ {(i + 1) * per} samples",
+              flush=True)
+    n_probe = len(table["loss"])
     print(f"sensitivity: {n_probe} probes x {N_SAMPLE}x{SEQLEN} in "
           f"{table['time_elapsed']:.1f}s "
           f"({table['time_elapsed']/n_probe:.2f} s/probe incl. logit "
