@@ -88,26 +88,29 @@ def _pipe_kernel(x_ref, s_ref, z_ref, w_hbm, o_ref, wbuf, cbuf, sem,
     zoff = extract_into(0, 0)
     dma(1, 1).start()
 
-    acc = jnp.zeros((8, bn), jnp.float32)
+    acc = jnp.zeros((1, bn), jnp.float32)
     # static unroll: Kt is 4 (K=4096) or 11 (K=11264)
     for k in range(Kt):
         nxt = (k + 1) % 2
         cur = k % 2
         if k + 2 <= Kt - 1:
-            dma(nxt, k + 2).start()
+            # slab k+2 reuses slot cur (same parity as k): wbuf[cur] was
+            # consumed by slab k's extraction at the END of iteration k-1
+            # (dma into nxt here would clobber slab k+1 in flight)
+            dma(cur, k + 2).start()
         # dot slab k (MXU) -- independent of the slab-(k+1) extraction
         xd, xsum = xd_xsum(k)
         codes = cbuf[cur]
         yp = jnp.dot(xd, codes, preferred_element_type=jnp.float32)
         s_blk = s_ref[pl.ds(k * T, T), :]
         z_blk = z_ref[pl.ds(k * T, T), :]
-        y = _correct(yp, s_blk, z_blk, xsum, T, bn, zoff)
-        acc = acc.at[:1].add(y)
+        acc = acc + _correct(yp, s_blk, z_blk, xsum, T, bn, zoff)
         # extract slab k+1 (VPU)
         if k + 1 <= Kt - 1:
             dma(nxt, k + 1).wait()
             extract_into(nxt, nxt)
-    o_ref[:] = acc.astype(o_ref.dtype)
+    o_ref[:] = jnp.concatenate(
+        [acc, jnp.zeros((7, bn), jnp.float32)], axis=0).astype(o_ref.dtype)
 
 
 def build_pipe(site, nbits, n_layers):
@@ -130,7 +133,7 @@ def build_pipe(site, nbits, n_layers):
                 pl.BlockSpec((8, K), lambda n: (0, 0)),
                 pl.BlockSpec((K // GROUP, BN), lambda n: (0, n)),
                 pl.BlockSpec((K // GROUP, BN), lambda n: (0, n)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((8, BN), lambda n: (0, n)),
             out_shape=jax.ShapeDtypeStruct((8, N), jnp.bfloat16),
@@ -209,7 +212,7 @@ def check_parity(site, nbits):
             pl.BlockSpec((8, K), lambda n: (0, 0)),
             pl.BlockSpec((K // GROUP, BN), lambda n: (0, n)),
             pl.BlockSpec((K // GROUP, BN), lambda n: (0, n)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((8, BN), lambda n: (0, n)),
         out_shape=jax.ShapeDtypeStruct((8, N), jnp.bfloat16),
