@@ -20,8 +20,10 @@ from .common import (apply_eval_cache_args, base_parser, compute_dtype,
 
 
 def select_candidates(archive, target_bits: float, offset: float, n: int,
-                      method: str):
-    """Window filter + ASF pick (amq_quantization.py:70-90)."""
+                      method: str, high_tradeoff: bool = False):
+    """Window filter + ASF pick (amq_quantization.py:70-90); with
+    ``high_tradeoff`` the knee points of the in-window front are selected
+    instead (HighTradeoffPoints, amq_quantization.py:15-54)."""
     archs = [v[0] for v in archive]
     metric = np.array([float(v[1]) for v in archive])
     bits = np.array([float(v[2]) for v in archive])
@@ -34,9 +36,16 @@ def select_candidates(archive, target_bits: float, offset: float, n: int,
     idx = np.where(in_win)[0]
     if idx.size == 0:
         raise SystemExit(f"no archs within {target_bits}+-{offset}")
-    # pymoo ASF with weights [0, target]: rank by bits usage alone
-    asf = np.column_stack([metric[idx] * 0.0, bits[idx] * target_bits]).max(1)
-    pick = idx[np.argsort(asf, kind="stable")[:n]]
+    if high_tradeoff:
+        from ..search.decision import high_tradeoff_points
+        F = np.column_stack([metric[idx], bits[idx]])
+        knees = high_tradeoff_points(F, n_survive=min(n, idx.size))
+        pick = idx[np.asarray(knees, int)]
+    else:
+        # pymoo ASF with weights [0, target]: rank by bits usage alone
+        asf = np.column_stack([metric[idx] * 0.0,
+                               bits[idx] * target_bits]).max(1)
+        pick = idx[np.argsort(asf, kind="stable")[:n]]
     return [(archs[i], metric[i], bits[i]) for i in pick]
 
 
@@ -49,6 +58,9 @@ def main(argv=None):
     p.add_argument("--target_bits", type=float, default=3.0)
     p.add_argument("--target_bits_offset", type=float, default=0.05)
     p.add_argument("--num_of_candidates", type=int, default=1)
+    p.add_argument("--high_tradeoff", action="store_true",
+                   help="select knee points of the in-window front "
+                        "(HighTradeoffPoints) instead of the ASF pick")
     p.add_argument("--eval_dataset", type=str, nargs="+",
                    default=["wikitext2", "c4"])
     p.add_argument("--save_path", type=str, default="quantize_out")
@@ -70,7 +82,8 @@ def main(argv=None):
 
     selected = select_candidates(archive, args.target_bits,
                                  args.target_bits_offset,
-                                 args.num_of_candidates, args.method)
+                                 args.num_of_candidates, args.method,
+                                 high_tradeoff=args.high_tradeoff)
     for arch, metric, bits in selected:
         print(f"selected arch: loss={metric:.4f} bits={bits:.4f}")
 

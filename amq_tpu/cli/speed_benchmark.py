@@ -19,6 +19,16 @@ def main(argv=None):
     p = base_parser(__doc__)
     p.add_argument("--arch_json", type=str, default="",
                    help="architecture dict JSON (else cycle 2/3/4)")
+    p.add_argument("--method", type=str, default="hqq",
+                   choices=["hqq", "owq"],
+                   help="serving realization: 'hqq' = stacked per-bit "
+                        "proxies through the container kernels (default); "
+                        "'owq' = OWQ packed serving (fused dequant-GEMV "
+                        "over non-outlier columns + dense fp outlier tail "
+                        "per linear — the QEFT kernel contract the "
+                        "reference ships uncompiled)")
+    p.add_argument("--target_bits", type=float, default=3.0,
+                   help="avg-bits target for the OWQ outlier budget")
     p.add_argument("--proxy_path", type=str, default="")
     p.add_argument("--prompt_len", type=int, default=64)
     p.add_argument("--gen_len", type=int, default=128)
@@ -54,6 +64,10 @@ def main(argv=None):
 
     cfg, params = load_model(args)
     bits_range = [2, 3, 4]
+
+    if args.method == "owq":
+        _owq_speed(args, cfg, params, jnp)
+        return
     # factories: stack_proxies builds + frees one per-bit proxy at a time
     # (three materialized 7B proxies + their stacked copies overflow a
     # 16 GB chip)
@@ -114,6 +128,49 @@ def main(argv=None):
     # reference's max_memory_allocated (VERDICT r2 weakness 5)
     results["peak_mem_kind"] = kind
     dump_json(results, f"{args.save_path}/{cfg.name}_speed.json")
+
+
+def _owq_speed(args, cfg, params, jnp):
+    """OWQ packed-serving benchmark: realize the arch with
+    ``owq_quantize_model(packed=True)`` (synthetic calibration in hub-less
+    environments) and serve through the unrolled forward — each layer's
+    OWQLinear applies the fused dequant-GEMV + outlier tail."""
+    import json as _json
+
+    from ..models.config import LINEAR_NAMES
+    from ..quantization import get_quantized_params
+    from ..serving import Engine
+    from ..serving.benchmark import benchmark_speed, device_peak_info
+    from .common import dump_json
+
+    if args.arch_json:
+        with open(args.arch_json) as f:
+            arch = _json.load(f)
+    else:
+        arch = {"linear": {l: [[2, 3, 4][(i + j) % 3]
+                               for i in range(cfg.num_layers)]
+                           for j, l in enumerate(LINEAR_NAMES)}}
+
+    qparams = get_quantized_params(
+        params, cfg, "owq", arch, avg_bits=args.target_bits,
+        group_size=args.group_size, synthetic_calib=args.synthetic,
+        n_samples=args.n_sample, packed=True)
+    eng = Engine(qparams, cfg, batch_size=args.batch_size,
+                 max_len=args.prompt_len + args.gen_len + 8,
+                 compute_dtype=jnp.bfloat16, use_pallas=not args.no_pallas)
+
+    results = {"method": "owq", "target_bits": args.target_bits}
+    for mode in args.modes:
+        if mode == "CONTINUOUS":
+            continue                      # stacked-model path only
+        results[mode] = benchmark_speed(eng, mode,
+                                        prompt_len=args.prompt_len,
+                                        gen_len=args.gen_len)
+        print(f"{mode}: {results[mode]}")
+    peak, kind = device_peak_info()
+    results["peak_mem_gib"] = peak
+    results["peak_mem_kind"] = kind
+    dump_json(results, f"{args.save_path}/{cfg.name}_owq_speed.json")
 
 
 if __name__ == "__main__":

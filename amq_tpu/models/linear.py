@@ -53,7 +53,21 @@ class ProxySwitch:
     select: jnp.ndarray  # scalar int32
 
 
-LinearParams = Union[DenseLinear, QuantLinear, ProxySwitch]
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class OWQLinear:
+    """One linear in OWQ packed serving form (quantization/owq.OWQPacked:
+    fused dequant-GEMV over the compacted non-outlier columns + a dense
+    bf16 tail matmul over the fp outlier columns).  The reference ships
+    QEFT kernels for this contract but never compiles them
+    (ft/quantization_new/gemv/gemv_cuda_qeft.cu:392 absent from
+    ft/setup.py) — upstream OWQ is eval-only; here it serves."""
+
+    packed: "object"           # quantization.owq.OWQPacked (registered pytree)
+    bias: Optional[jnp.ndarray] = None
+
+
+LinearParams = Union[DenseLinear, QuantLinear, OWQLinear, ProxySwitch]
 
 # Optional fused-kernel implementation for QuantLinear application.  The
 # serving engine installs the Pallas dequant-matmul here (trace-time
@@ -98,6 +112,13 @@ def apply_linear(p: LinearParams, x: jnp.ndarray,
             return _KERNEL_IMPL(p, x, compute_dtype)
         wt = dequantize_kn(p.qt, dtype=compute_dtype)  # [in, out]
         return _matmul(x, wt, p.bias, compute_dtype)
+    if isinstance(p, OWQLinear):
+        from ..quantization.owq import owq_matmul
+        y = owq_matmul(x, p.packed, out_dtype=compute_dtype,
+                       use_kernel=_KERNEL_IMPL is not None)
+        if p.bias is not None:
+            y = y + p.bias.astype(y.dtype)
+        return y
     if isinstance(p, ProxySwitch):
         branches = [
             (lambda q: lambda: apply_linear(q, x, compute_dtype))(q)

@@ -66,6 +66,15 @@ import os as _os  # noqa: E402
 
 _KSUB_DEFAULT = int(_os.environ.get("AMQ_KSUB", "1"))
 
+#: software-pipelined decode GEMV (AMQ_PIPE=1): per grid step, dot the
+#: codes extracted in the PREVIOUS step (VMEM scratch) while extracting
+#: the current packed tile — the dot (MXU) and extraction (VPU) are
+#: data-independent, so Mosaic may co-issue them and the step cost drops
+#: from ext+dot toward max(ext, dot).  One extra grid step per n-tile
+#: drains the pipeline; its clamped index maps repeat the previous block
+#: indices so Pallas skips the re-copy (no extra HBM traffic).
+_PIPE_DEFAULT = int(_os.environ.get("AMQ_PIPE", "0"))
+
 
 def _extract_pairs_bf16(words, field_bits, shifts):
     """Pair extraction: ``[R, bn]`` uint32 -> list of bf16 ``[2R, bn]``.
@@ -190,6 +199,46 @@ def _gemv_blockdiag(x, w_blk, s_blk, z_blk, nbits, group_size, T, bn,
         y = jnp.concatenate(
             [y, jnp.zeros((bm - m_eff, bn), y.dtype)], axis=0)
     return y
+
+
+def _gemv_dot_codes(x, codes, s_blk, z_blk, group_size, T, bn,
+                    zoff=128.0, m_real=None):
+    """The dot+correction half of :func:`_gemv_blockdiag`, with the raw
+    ``128 + c`` code matrix supplied (from a VMEM scratch filled by an
+    earlier grid step) instead of extracted inline.  Single-plane codes
+    only (nbits 1/2/3/4 — 3-bit recombines at extraction)."""
+    bm, sb = x.shape
+    m_eff = m_real or bm
+    while (T * m_eff) % 8 and m_eff < bm:
+        m_eff += 1
+    xb = x[:m_eff].astype(jnp.bfloat16)
+    xf = xb.astype(jnp.float32)
+    xsum = jnp.sum(xf.reshape(m_eff, T, group_size), axis=2)     # [m, T]
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1, sb), 2) // group_size
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1, sb), 0)
+    xd = jnp.where(k_ids == g_ids, xb[None],
+                   jnp.zeros((), jnp.bfloat16)).reshape(T * m_eff, sb)
+    yp = jnp.dot(xd, codes, preferred_element_type=jnp.float32)
+    yp = yp.reshape(T, m_eff, bn)
+    s = s_blk.reshape(T, 1, bn).astype(jnp.float32)
+    z = z_blk.reshape(T, 1, bn).astype(jnp.float32)
+    corr = (z + zoff) * s
+    y = jnp.sum(s * yp - xsum.T[:, :, None] * corr, axis=0)
+    if m_eff < bm:
+        y = jnp.concatenate(
+            [y, jnp.zeros((bm - m_eff, bn), y.dtype)], axis=0)
+    return y
+
+
+def _extract_into(cbuf, slot, w_blk, nbits, sb):
+    """Extract one packed tile's raw code chunks into scratch row-slab
+    ``slot`` (chunk-wise stores — no in-register concatenation)."""
+    chunks, splits, zoff = _codes_chunks_bf16(w_blk, nbits, sb)
+    assert len(splits) == 1 and splits[0][1] == 1.0, splits
+    off = 0
+    for c in chunks:
+        cbuf[slot, pl.ds(off, c.shape[0])] = c
+        off += c.shape[0]
 
 
 def _dequant_tile(w_blk, s_blk, z_blk, nbits, group_size, T, bn, acc_dtype):
@@ -488,6 +537,72 @@ def _qmm_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref, scratch,
                         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _qmm_kernel_stacked_pipe(idx_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
+                             cbuf, *, nbits, group_size, T, m_real,
+                             fuse_swiglu=False, u_ref=None):
+    """Software-pipelined decode GEMV body (see ``_PIPE_DEFAULT``).
+
+    Grid ``(n, Kt + 1, 1)``.  Step k dots the codes slab extracted at
+    step k-1 (against x/meta of tile k-1, delivered by k-1-shifted index
+    maps) and extracts packed tile k into the other scratch slab.  The
+    dot is issued FIRST so the MXU drains under the VPU extraction.
+    """
+    del idx_ref
+    k = pl.program_id(1)
+    Kt = pl.num_programs(1) - 1
+    bn = o_ref.shape[1]
+    sb = T * group_size
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(k >= 1)
+    def _():
+        codes = cbuf[(k - 1) % 2]
+        if fuse_swiglu:
+            g = x_ref[:].astype(jnp.float32)
+            x = (g * jax.nn.sigmoid(g)
+                 * u_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+        else:
+            x = x_ref[:]
+        y = _gemv_dot_codes(x, codes, s_ref[0, 0], z_ref[0, 0],
+                            group_size, T, bn, m_real=m_real)
+        o_ref[:] += y.astype(o_ref.dtype)
+
+    @pl.when(k < Kt)
+    def _():
+        _extract_into(cbuf, k % 2, w_ref[0], nbits, sb)
+
+
+def _qmm_kernel_swiglu_pipe(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref,
+                            o_ref, cbuf, **kw):
+    return _qmm_kernel_stacked_pipe(idx_ref, g_ref, w_ref, s_ref, z_ref,
+                                    o_ref, cbuf, fuse_swiglu=True,
+                                    u_ref=u_ref, **kw)
+
+
+def _pipe_specs(L, Kt, T, rows_per_tile, bn, bm, bk, swiglu=False):
+    """Index maps for the pipelined decode GEMV: x/meta shifted to tile
+    k-1 (clamped — the k=0 fetch is reused at k=1), packed clamped to
+    tile Kt-1 at the drain step (same index -> Pallas skips the copy)."""
+    def xmap(n, k, m, idx):
+        return (m, jnp.maximum(k - 1, 0))
+
+    def wmap(n, k, m, idx):
+        return (idx[0], jnp.minimum(k, Kt - 1), n)
+
+    def mmap(n, k, m, idx):
+        return (idx[0], jnp.maximum(k - 1, 0), 0, n)
+
+    x_spec = pl.BlockSpec((bm, bk), xmap)
+    w_spec = pl.BlockSpec((1, rows_per_tile, bn), wmap)
+    meta_spec = pl.BlockSpec((1, 1, T, bn), mmap)
+    in_specs = [x_spec] * (2 if swiglu else 1) + [w_spec, meta_spec,
+                                                  meta_spec]
+    return in_specs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nbits", "group_size", "shape", "superblock",
@@ -541,6 +656,37 @@ def quant_matmul_indexed(
 
     single_m = (x.shape[0] // bm) == 1 and bm <= 8
     meta_full = T < 8        # see _meta_tile
+
+    if (_PIPE_DEFAULT and single_m and acc_dtype == jnp.bfloat16
+            and not meta_full and nbits != 8):
+        Kt = Kp // bk
+        idx = jnp.asarray(layer, jnp.int32).reshape(1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Np // bn, Kt + 1, 1),
+            in_specs=_pipe_specs(L, Kt, T, rows_per_tile, bn, bm, bk),
+            out_specs=pl.BlockSpec((bm, bn), lambda n, k, m, idx: (m, n)),
+            scratch_shapes=[pltpu.VMEM((2, bk, bn), jnp.bfloat16)],
+        )
+        out = pl.pallas_call(
+            functools.partial(_qmm_kernel_stacked_pipe, nbits=nbits,
+                              group_size=g, T=T, m_real=M),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((x.shape[0], Np), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * N * K,
+                bytes_accessed=(K * nbits // 8) * N
+                + M * K * x.dtype.itemsize + M * N * 4,
+                transcendentals=0,
+            ),
+        )(idx, x, packed_stack,
+          scale_stack.reshape(L, Kt, T, Np),
+          zero_stack.reshape(L, Kt, T, Np))
+        return out[:M, :N]
+
     # pack several superblocks per decode grid step (see kernel docstring)
     k_sub = 1
     if single_m and acc_dtype == jnp.bfloat16 and not meta_full:
@@ -707,6 +853,38 @@ def quant_matmul_swiglu_indexed(
 
     single_m = (gate.shape[0] // bm) == 1 and bm <= 8
     meta_full = T < 8        # see _meta_tile
+
+    if (_PIPE_DEFAULT and single_m and acc_dtype == jnp.bfloat16
+            and not meta_full and nbits != 8):
+        Kt = Kp // bk
+        idx = jnp.asarray(layer, jnp.int32).reshape(1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Np // bn, Kt + 1, 1),
+            in_specs=_pipe_specs(L, Kt, T, rows_per_tile, bn, bm, bk,
+                                 swiglu=True),
+            out_specs=pl.BlockSpec((bm, bn), lambda n, k, m, idx: (m, n)),
+            scratch_shapes=[pltpu.VMEM((2, bk, bn), jnp.bfloat16)],
+        )
+        out = pl.pallas_call(
+            functools.partial(_qmm_kernel_swiglu_pipe, nbits=nbits,
+                              group_size=g, T=T, m_real=M),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((gate.shape[0], Np), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * N * K,
+                bytes_accessed=(K * nbits // 8) * N
+                + 2 * M * K * gate.dtype.itemsize + M * N * 4,
+                transcendentals=M * K,
+            ),
+        )(idx, gate, up, packed_stack,
+          scale_stack.reshape(L, Kt, T, Np),
+          zero_stack.reshape(L, Kt, T, Np))
+        return out[:M, :N]
+
     k_sub = 1
     if single_m and acc_dtype == jnp.bfloat16 and not meta_full:
         want = _KSUB_DEFAULT

@@ -56,7 +56,7 @@ def layer_to_host(layer: Dict[str, Any]) -> Dict[str, Any]:
     7B+ the quantized output pytree (13.5 GB bf16) cannot accumulate on
     device next to the calibration activations/Hessians.  Norms/biases
     (tiny, usually already host refs from the input pytree) pass through."""
-    from ..models.linear import DenseLinear
+    from ..models.linear import DenseLinear, OWQLinear
 
     cpu = jax.devices("cpu")[0]
     out = {}
@@ -64,6 +64,8 @@ def layer_to_host(layer: Dict[str, Any]) -> Dict[str, Any]:
         if isinstance(v, DenseLinear):
             out[k] = DenseLinear(weight=jax.device_put(v.weight, cpu),
                                  bias=v.bias)
+        elif isinstance(v, OWQLinear):
+            out[k] = jax.tree.map(lambda a: jax.device_put(a, cpu), v)
         else:
             out[k] = v
     return out

@@ -284,8 +284,14 @@ def owq_quantize_model(
     batch_size: int = 8,
     compute_dtype=jnp.float32,
     progress: bool = False,
+    packed: bool = False,
 ) -> Dict[str, Any]:
-    """Sequential block-by-block OWQ over the whole model (owq.py:98-240)."""
+    """Sequential block-by-block OWQ over the whole model (owq.py:98-240).
+
+    ``packed=True`` realizes each linear as an :class:`OWQLinear`
+    (packed serving form, see ``owq_pack``) instead of a fake-quant
+    DenseLinear; state propagation still uses the fake-quant weights so
+    the sequential quantization order matches the eval path exactly."""
     n_out_dict = compute_n_out(cfg, avg_bits, group_size)
     out_layers = []
     n, S = calib_tokens.shape
@@ -311,14 +317,23 @@ def owq_quantize_model(
                 hessians[name] = hessians[name] + h
 
         new_layer = dict(layer)
+        packed_layer = dict(layer)
         for name in LINEAR_NAMES:
             p = layer[name]
             bits = int(round(arch["linear"][name][li]))
             H = hessians[name] * (2.0 / n_tokens)
-            Q = owq_quantize_weight(p.weight, H, bits,
-                                    n_out=n_out_dict[name],
-                                    group_size=group_size,
-                                    percdamp=percdamp)
+            if packed:
+                from ..models.linear import OWQLinear
+                Q, pk = owq_pack(p.weight, H, bits,
+                                 n_out=n_out_dict[name],
+                                 group_size=group_size,
+                                 percdamp=percdamp)
+                packed_layer[name] = OWQLinear(packed=pk, bias=p.bias)
+            else:
+                Q = owq_quantize_weight(p.weight, H, bits,
+                                        n_out=n_out_dict[name],
+                                        group_size=group_size,
+                                        percdamp=percdamp)
             new_layer[name] = DenseLinear(weight=Q, bias=p.bias)
             if progress:
                 print(f"owq block {li} {name}: bits={bits} "
@@ -328,7 +343,8 @@ def owq_quantize_model(
                                   compute_dtype=compute_dtype)[0]
                   for x in states]
         # park the quantized block on host (see gptq_quantize_model)
-        out_layers.append(calib.layer_to_host(new_layer))
+        out_layers.append(calib.layer_to_host(
+            packed_layer if packed else new_layer))
 
     out = dict(params)
     out["layers"] = out_layers
@@ -375,13 +391,14 @@ class OWQPacked:
 
 
 def owq_pack(W: jnp.ndarray, H: jnp.ndarray, bits: int, n_out: int,
-             group_size: int = 128) -> tuple:
+             group_size: int = 128, percdamp: float = 0.01) -> tuple:
     """Quantize + produce the packed serving form.  Returns
     (fake-quant W for eval parity, OWQPacked)."""
     rows, cols = W.shape
     n_nonout = cols - n_out
     Q, parts = owq_quantize_weight(W, H, bits, n_out,
                                    group_size=group_size,
+                                   percdamp=percdamp,
                                    return_packed=True)
     Kp = -(-n_nonout // group_size) * group_size
     codes = np.zeros((rows, Kp), np.uint32)

@@ -187,14 +187,22 @@ class Search:
         archive = [tuple(x) for x in blob["archive"] + blob["candidates"]]
         return archive, blob["iteration"] + 1
 
-    def _checkpoint(self, it, archive, hv, predictor, stats,
+    def _checkpoint(self, it, archive, n_cand, hv, predictor, stats,
                     cand_pred=None):
+        """``iter_N.stats`` in the reference schema (optimizer.py:163-171)
+        with one correction: the reference stores the full archive (which
+        already contains the batch) AND ``archive[-n_iter:]`` as
+        "candidates", so its resume (``archive + candidates``) duplicates
+        the last batch — and the slice is wrong when dedup shrank the
+        batch below n_iter.  We store the archive *minus* the actual
+        last batch plus that batch, so resume reconstructs exactly."""
         os.makedirs(self.save_path, exist_ok=True)
         path = os.path.join(self.save_path, f"iter_{it}.stats")
+        n_cand = min(n_cand, len(archive))
         with open(path, "w") as f:
             json.dump({
-                "archive": archive,
-                "candidates": archive[-self.n_iter:],
+                "archive": archive[:len(archive) - n_cand],
+                "candidates": archive[len(archive) - n_cand:],
                 "hv": hv,
                 "surrogate": {
                     "model": self.predictor_name,
@@ -204,9 +212,9 @@ class Search:
                 },
                 "iteration": it,
             }, f)
-        self._scatter_png(it, archive, cand_pred)
+        self._scatter_png(it, archive, n_cand, cand_pred)
 
-    def _scatter_png(self, it, archive, cand_pred):
+    def _scatter_png(self, it, archive, n_cand, cand_pred):
         """Pareto scatter per checkpoint (optimizer.py:173-187)."""
         try:
             import matplotlib
@@ -219,7 +227,7 @@ class Search:
         metric = np.array([x[1] for x in archive])
         axe.scatter(bits, metric, s=5, facecolors="none", edgecolors="b",
                     label="archive")
-        cand = archive[-self.n_iter:]
+        cand = archive[len(archive) - n_cand:]
         axe.scatter([x[2] for x in cand], [x[1] for x in cand], s=10,
                     color="r", label="candidates evaluated")
         if cand_pred is not None and len(cand_pred) == len(cand):
@@ -273,7 +281,7 @@ class Search:
                       f"Spearman's Rho = {rho:.4f}, Kendall's Tau = {tau:.4f}")
 
             if self.save_path and it % self.save_iter == 0:
-                self._checkpoint(it, archive, hv, predictor, {
+                self._checkpoint(it, archive, len(candidates), hv, predictor, {
                     "rmse": rmse, "rho": rho, "tau": tau,
                     "total_time": iter_time,
                 }, cand_pred=cand_pred)

@@ -84,7 +84,9 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, *, nbits, variant):
                            preferred_element_type=jnp.float32)
         o_ref[:] += acc.astype(o_ref.dtype)
     else:                                           # dma_only
-        w = w_ref[:]
+        # touch every packed word without extract/dot: bitcast to bf16
+        # (free) and reduce (uint32->f32 casts don't lower in Mosaic)
+        w = pltpu.bitcast(w_ref[:], jnp.bfloat16)
         o_ref[:] += jnp.sum(w.astype(jnp.float32), axis=0,
                             keepdims=True).astype(o_ref.dtype)[:1]
 
@@ -101,14 +103,14 @@ def build(site, nbits, variant, n_layers):
 
     kern = functools.partial(_kernel, nbits=nbits, variant=variant)
 
-    def one(i, x):
+    def one(pk, sc, zr, x):
         grid = (N // BN, K // SB)
         return pl.pallas_call(
             kern,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((8, SB), lambda n, k: (0, k)),
-                pl.BlockSpec((rpt, BN), lambda n, k, i=i: (k, n)),
+                pl.BlockSpec((rpt, BN), lambda n, k: (k, n)),
                 pl.BlockSpec((1, SB // GROUP, BN), lambda n, k: (k, 0, n)),
                 pl.BlockSpec((1, SB // GROUP, BN), lambda n, k: (k, 0, n)),
             ],
@@ -116,34 +118,41 @@ def build(site, nbits, variant, n_layers):
             out_shape=jax.ShapeDtypeStruct((8, N), jnp.bfloat16),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
-        )(x, packed[i], scale[i], zero[i])
+        )(x, pk, sc, zr)
 
+    # weights enter as jit ARGUMENTS (trace-time constants would embed
+    # hundreds of MB of literals in the compile request — the axon
+    # remote-compile tunnel 413s past ~200 MB)
     @jax.jit
-    def chain(x):
-        def body(c, i):
-            y = one(0, c * 0 + x)           # data-dep chain, same buffers?
-            return c + jnp.sum(y[:1, :1]), None
-        # cycle layers: re-trace per layer index would recompile; instead
-        # unroll a python loop over distinct layer buffers
+    def chain(x, packed, scale, zero):
         c = jnp.float32(0)
         for step in range(n_layers):
-            y = one(step % n_layers, x + c.astype(x.dtype) * 0)
+            y = one(packed[step], scale[step], zero[step],
+                    x + c.astype(x.dtype) * 0)
             c = c + y[0, 0].astype(jnp.float32)
         return c
 
-    return chain, x
+    chain2 = functools.partial(chain, packed=packed, scale=scale, zero=zero)
+    return chain2, x
 
 
-def measure(site, nbits, variant, lens=(8, 32)):
+def measure(site, nbits, variant, lens=(8, 40), reps=100):
+    """Per-layer us via chain differencing; reps queued async, blocked
+    ONCE (a per-rep block pays the ~25 ms axon round trip each call)."""
     outs = []
     for n in lens:
         chain, x = build(site, nbits, variant, n)
         chain(x).block_until_ready()
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
-            chain(x).block_until_ready()
-        outs.append((time.perf_counter() - t0) / reps)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            y = None
+            for _ in range(reps):
+                y = chain(x)
+            y.block_until_ready()
+            dt = (time.perf_counter() - t0) / reps
+            best = dt if best is None else min(best, dt)
+        outs.append(best)
     per_call = (outs[1] - outs[0]) / (lens[1] - lens[0])
     return per_call
 

@@ -29,6 +29,7 @@ def _reference_greedy(cfg, model, prompt, n_new):
     return eng.generate(prompt[None], max_new_tokens=n_new)[0]
 
 
+@pytest.mark.slow
 def test_slot_batching_matches_single(setup):
     cfg, model = setup
     rng = np.random.default_rng(0)
@@ -52,6 +53,7 @@ def test_slot_batching_matches_single(setup):
         assert results[uid] == want[uid], (uid, results[uid], want[uid])
 
 
+@pytest.mark.slow
 def test_chunked_slot_batching_matches_single(setup):
     cfg, model = setup
     rng = np.random.default_rng(1)

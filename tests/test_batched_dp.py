@@ -4,6 +4,8 @@ slot axis sharded over the 'data' axis of a multi-device mesh."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh

@@ -10,6 +10,7 @@ from amq_tpu.search.decision import high_tradeoff_points
 from amq_tpu.utils.checkpoint import load_quantized, save_quantized
 
 
+@pytest.mark.slow
 def test_quantized_roundtrip(tmp_path):
     cfg = get_config("tiny-llama")
     params = init_params(cfg, jax.random.PRNGKey(0))
@@ -25,6 +26,7 @@ def test_quantized_roundtrip(tmp_path):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_quantized_roundtrip_bf16_meta(tmp_path):
     """bf16 scale/zero (the serving meta_dtype default) must survive the
     npz round trip — numpy silently stores ml_dtypes arrays as void

@@ -83,6 +83,7 @@ def test_ppl_final_mode(setup):
     assert 1.0 < ppl < cfg.vocab_size * 8
 
 
+@pytest.mark.slow
 def test_sensitivity_schema():
     cfg = get_config("tiny-llama")
     params = init_params(cfg, jax.random.PRNGKey(2))
@@ -95,6 +96,7 @@ def test_sensitivity_schema():
     assert "0.self_attn.q_proj" in table["loss"]
 
 
+@pytest.mark.slow
 def test_mesh_data_parallel_matches_single_device(setup):
     cfg, params, ev_single = setup
     toks = synthetic_tokens(cfg.vocab_size, n_sample=8, seqlen=64, seed=0)
@@ -109,6 +111,7 @@ def test_mesh_data_parallel_matches_single_device(setup):
     assert m_mesh["synthetic"] == pytest.approx(m_ref["synthetic"], rel=1e-4)
 
 
+@pytest.mark.slow
 def test_ragged_batch_padding_matches_batch1(setup):
     """11 samples at B=8 (one full + one padded batch) == batch-1 losses.
 
@@ -126,6 +129,7 @@ def test_ragged_batch_padding_matches_batch1(setup):
     assert res[1] == pytest.approx(res[8], rel=1e-5)
 
 
+@pytest.mark.slow
 def test_ragged_batch_padding_under_mesh(setup):
     """N=11 not divisible by the 8-device 'data' axis: padding must keep
     the sharded batch shape divisible (the pre-fix code would fail in
@@ -143,6 +147,7 @@ def test_ragged_batch_padding_under_mesh(setup):
     assert m["synthetic"] == pytest.approx(m1["synthetic"], rel=1e-4)
 
 
+@pytest.mark.slow
 def test_dense_device_cache_and_fp8(setup, monkeypatch):
     """The pinned device cache must not change the loss; fp8 pinning
     (AMQ_DENSE_CACHE_DTYPE=float8_e4m3fn) stays within ~2e-3 JSD."""
@@ -208,6 +213,7 @@ def test_eval_many_matches_sequential(setup):
                                                rel=1e-5, abs=1e-7)
 
 
+@pytest.mark.slow
 def test_sensitivity_paths_agree(setup):
     """All three sensitivity strategies — suffix (cached block-input
     resume), batched eval_many, and the sequential probe loop — must
@@ -229,6 +235,7 @@ def test_sensitivity_paths_agree(setup):
             table_seq["loss"][k], rel=1e-4, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_device_resident_cache_matches_host(setup):
     """defer_logit_cache + dense_logits_device: the dense pass writes
     per-batch logits straight into the device cache (dev->host on the

@@ -116,6 +116,7 @@ def test_wikitext_c4_chunking_semantics(ckpt, monkeypatch):
     np.testing.assert_array_equal(c4, ref_ids[: n * 8].reshape(n, 8))
 
 
+@pytest.mark.slow
 def test_cli_pipeline_on_hf_checkpoint(ckpt, tmp_path):
     """quantize CLI end-to-end on an HF-format checkpoint + real tokenizer
     + local-text dataset (the non-synthetic code path)."""

@@ -3,6 +3,8 @@ the separate-kernel decode path and the XLA reference."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 

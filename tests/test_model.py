@@ -42,6 +42,7 @@ def test_causality(tiny):
     assert not np.allclose(np.asarray(l1[0, -1]), np.asarray(l2[0, -1]))
 
 
+@pytest.mark.slow
 def test_kv_cache_matches_full_forward(tiny):
     cfg, params = tiny
     rng = np.random.default_rng(1)
@@ -79,6 +80,7 @@ def test_quantized_model_close_to_dense(tiny):
     assert float(jnp.mean(jnp.abs(ld - lq))) < 0.05
 
 
+@pytest.mark.slow
 def test_switch_model_matches_stitched(tiny):
     cfg, params = tiny
     bits_range = [2, 3, 4]
@@ -106,6 +108,7 @@ def test_switch_model_matches_stitched(tiny):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_set_arch_does_not_retrace(tiny):
     cfg, params = tiny
     bits_range = [2, 3, 4]
@@ -143,6 +146,7 @@ def test_forward_dense_matches_unrolled(tiny):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_forward_dense_cache_matches(tiny):
     """Incremental prefill+decode through forward_dense == full forward."""
     from amq_tpu.models import llama

@@ -4,6 +4,8 @@ config 5's mechanism; the reference only has sequential block placement)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

@@ -2,6 +2,10 @@
 must train, predict, and rank a smooth target sanely at fast epoch
 counts, and the `--predictor mlp` search axis must run end to end."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 
 import numpy as np

@@ -97,6 +97,7 @@ def test_to_container_is_code_preserving():
             np.asarray(q.dequantize(qc)), np.asarray(q.dequantize(qt)))
 
 
+@pytest.mark.slow
 def test_stack_proxies_container_matches_native():
     import jax
     from amq_tpu.models import get_config, init_params, quantize_model

@@ -161,6 +161,11 @@ def test_search_end_to_end(tmp_path):
     assert set(blob) == {"archive", "candidates", "hv", "surrogate", "iteration"}
     assert blob["iteration"] == 2
     assert 0 < blob["hv"] <= 1.0
+    # archive + candidates partition the full archive exactly (no
+    # duplication on resume, unlike the reference's archive[-n_iter:])
+    assert len(blob["archive"]) + len(blob["candidates"]) == len(archive)
+    recon = [tuple(x) for x in blob["archive"] + blob["candidates"]]
+    assert recon == [(a, m, b) for a, m, b in archive]
 
     # resume from checkpoint continues
     search2 = Search(ev, space, dataset="synthetic", iterations=3, n_iter=4,
@@ -168,8 +173,78 @@ def test_search_end_to_end(tmp_path):
                      resume_path=str(tmp_path / "iter_2.stats"), verbose=False)
     archive2 = search2.search()
     assert len(archive2) >= len(archive)
+    # the resumed archive starts from exactly the checkpointed state
+    assert [(a, m, b) for a, m, b in archive2[:len(archive)]] == \
+        [(json.loads(json.dumps(a)), m, b) for a, m, b in archive]
 
     # the search should find better low-bit configs than random DOE:
     # hypervolume grows over iterations
     b1 = json.load(open(tmp_path / "iter_1.stats"))
     assert blob["hv"] >= b1["hv"] - 1e-9
+
+
+def test_checkpoint_short_final_batch(tmp_path):
+    """Dedup can shrink the evaluated batch below n_iter; the checkpoint
+    must record the actual batch, and resume must re-ingest it exactly."""
+    from amq_tpu.search import Search
+
+    cfg = get_config("tiny-llama")
+    top = cfg.topology()
+    space = SearchSpace(top, rng=np.random.default_rng(3))
+    ev = FakeEvaluator(top)
+    search = Search(ev, space, dataset="synthetic", iterations=1, n_doe=8,
+                    n_iter=4, save_iter=1, ga_pop_size=8, subset_pop_size=8,
+                    save_path=str(tmp_path), verbose=False)
+    # force a short batch: evaluate 2 candidates, checkpoint claims n_cand=2
+    doe = space.initialize(8)
+    m, b = search._evaluate(doe)
+    archive = list(zip(doe, m, b))
+    cand = space.sample(2)
+    cm, cb = search._evaluate(cand)
+    archive.extend(zip(cand, cm, cb))
+
+    class P:
+        name = "rbf"
+    search._checkpoint(1, archive, len(cand), 0.5, P(), {"rmse": 0.0})
+    blob = json.load(open(tmp_path / "iter_1.stats"))
+    assert len(blob["candidates"]) == 2
+    assert len(blob["archive"]) == 8
+    search.resume_path = str(tmp_path / "iter_1.stats")
+    resumed, start_it = search._resume()
+    assert len(resumed) == len(archive)
+    assert start_it == 2
+
+
+# ---------------------------------------------------------------------------
+# decision making: high-tradeoff (knee) point selection
+
+
+def test_high_tradeoff_points_finds_knee():
+    from amq_tpu.search.decision import high_tradeoff_points
+    # convex front with one sharp knee at (0.2, 0.25)
+    F = np.array([
+        [1.00, 0.00], [0.60, 0.05], [0.35, 0.12], [0.20, 0.25],
+        [0.17, 0.55], [0.15, 0.80], [0.14, 1.00],
+    ])
+    idx = high_tradeoff_points(F)
+    assert 3 in idx.tolist()
+    top1 = high_tradeoff_points(F, n_survive=1)
+    assert top1.tolist() == [3]
+
+
+def test_select_candidates_high_tradeoff():
+    from amq_tpu.cli.quantize import select_candidates
+    archive = []
+    # synthetic archive: loss falls off steeply then flattens vs bits
+    for i, (loss, bits) in enumerate([(5.0, 2.8), (2.0, 2.9), (0.9, 3.0),
+                                      (0.75, 3.1), (0.7, 3.2)]):
+        archive.append(({"arch": i}, loss, bits))
+    knee = select_candidates(archive, target_bits=3.0, offset=0.3, n=1,
+                             method="gptq", high_tradeoff=True)
+    assert len(knee) == 1
+    # the knee of this front is (0.9, 3.0)
+    assert knee[0][0] == {"arch": 2}
+    # default ASF pick still selects the lowest-bits in-window arch
+    asf = select_candidates(archive, target_bits=3.0, offset=0.3, n=1,
+                            method="gptq")
+    assert asf[0][0] == {"arch": 0}

@@ -29,6 +29,7 @@ def _naive_greedy(params, cfg, prompt, n_new):
     return np.asarray([out])
 
 
+@pytest.mark.slow
 def test_engine_matches_naive_greedy(setup):
     cfg, params = setup
     rng = np.random.default_rng(0)
@@ -41,6 +42,7 @@ def test_engine_matches_naive_greedy(setup):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_engine_stacked_quantized(setup):
     cfg, params = setup
     bits_range = [2, 3, 4]

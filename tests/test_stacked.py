@@ -29,6 +29,7 @@ def _rand_arch(cfg, bits_range, seed):
                        for l in LINEAR_NAMES}}
 
 
+@pytest.mark.slow
 def test_stacked_matches_switch_forward(setup):
     cfg, params, bits_range, proxies = setup
     arch = _rand_arch(cfg, bits_range, 0)
@@ -62,6 +63,7 @@ def test_stacked_set_arch_no_retrace(setup):
     assert count["n"] == 1
 
 
+@pytest.mark.slow
 def test_stacked_decode_with_cache_matches_full(setup):
     cfg, params, bits_range, proxies = setup
     arch = _rand_arch(cfg, bits_range, 3)
@@ -101,6 +103,7 @@ def test_stack_proxies_factories_match_lists(setup):
         want, got)
 
 
+@pytest.mark.slow
 def test_stack_proxies_mesh_replicated_device(setup):
     """``device`` may be a NamedSharding: every dense part lands mesh-
     replicated and the forward runs against data-sharded tokens without
@@ -124,6 +127,7 @@ def test_stack_proxies_mesh_replicated_device(setup):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_quantized_head_matches_dense(setup):
     """stack_proxies(head_bits=8): logits from the packed 8-bit head must
     track the dense head closely (8-bit group quantization is ~lossless

@@ -16,6 +16,7 @@ def _layer_uniform_arch(cfg, bits_range, seed):
     return {"linear": {l: per_layer.tolist() for l in LINEAR_NAMES}}
 
 
+@pytest.mark.slow
 def test_fused_matches_unfused():
     cfg = get_config("tiny-llama")
     params = init_params(cfg, jax.random.PRNGKey(0))
@@ -60,6 +61,7 @@ def test_set_arch_on_fused_asserts_on_mixed_groups():
         stacked.set_arch(model, bad)
 
 
+@pytest.mark.slow
 def test_merge_containers_matches_unmerged():
     """Container-merged model (3-bit in nibble containers collapsed into
     the 4-bit branch, compact slot-indexed stacks) must produce identical

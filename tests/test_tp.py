@@ -29,6 +29,7 @@ def setup():
 
 
 @pytest.mark.parametrize("tp", [2, 4])
+@pytest.mark.slow
 def test_tp_forward_matches_single_device(setup, tp):
     cfg, qparams, toks, ref = setup
     mesh = tpmod.make_mesh(n_devices=tp, data=1, tensor=tp)
@@ -49,6 +50,7 @@ def test_tp_forward_matches_single_device(setup, tp):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_tp_decode_chain_matches_single_device(setup):
     """Prefill + 3 decode steps through the sharded program reproduce the
     unsharded incremental forward."""
