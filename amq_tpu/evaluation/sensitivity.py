@@ -87,17 +87,22 @@ def _suffix_losses(ev: Evaluator, dataset: str, keys, probes, base,
         dense = ev._dense_batch(dense_logits, int(st), n_valid,
                                 batch.shape[0], cache_key=dataset)
         x = embed_fn(m, tb)
-        pend = []                       # (b, j, [B] device array)
         for b in range(n_block):
             sels = sel_by_block[b]
+            vals = []
             for j in range(P):
                 sel_j = {k: v[j] for k, v in sels.items()}
-                pend.append((b, j, probe_loss(m, sel_j, x, dense,
-                                              jnp.int32(b))))
+                vals.append(probe_loss(m, sel_j, x, dense, jnp.int32(b)))
             if b + 1 < n_block:
                 x = advance(m, x, jnp.int32(b))
-        for b, j, v in pend:            # sync once per batch
-            sums[b, j] += np.asarray(v)[:n_valid].sum()
+            # sync per BLOCK (after dispatching the next block's advance,
+            # so host sync overlaps device work).  A whole-batch async
+            # queue pins every block's [B, S, H] activation buffer at
+            # once (~32 x 128 MiB at 7B) and OOMs the 16 GB chip next to
+            # the proxy stacks + fp8 logit cache; per-block sync bounds
+            # live activations to two blocks for ~25 ms/block tunnel cost.
+            for j, v in enumerate(vals):
+                sums[b, j] += np.asarray(v)[:n_valid].sum()
         if progress:
             print(f"sensitivity batch {bi + 1}/{len(batches)} "
                   f"({st + n_valid}/{toks.shape[0]} samples)", flush=True)

@@ -194,3 +194,51 @@ def test_swiglu_ksub_matches_composition(monkeypatch):
     scale_f = float(jnp.abs(want).max())
     np.testing.assert_allclose(np.asarray(got) / scale_f,
                                np.asarray(want) / scale_f, atol=2e-2)
+
+
+@pytest.mark.parametrize("nbits", [2, 3, 4])
+def test_pipelined_indexed_matches_reference(nbits, monkeypatch):
+    """Opt-in software-pipelined decode GEMV (AMQ_PIPE=1): parity with the
+    XLA reference.  Measured 2x SLOWER than the value-fed production path
+    on chip (docs/ROADMAP.md r4 dead ends) — kept for re-evaluation on
+    future Mosaic toolchains, so keep it from rotting."""
+    import amq_tpu.ops.quant_matmul as qm_mod
+    from amq_tpu.ops.quant_matmul import (quant_matmul_indexed,
+                                          quant_matmul_swiglu_indexed)
+
+    monkeypatch.setattr(qm_mod, "_PIPE_DEFAULT", 1)
+    rng = np.random.default_rng(4)
+    L, N, K = 2, 256, 1024
+    qts = [q.quantize(jnp.asarray(rng.normal(size=(N, K)).astype(np.float32)),
+                      nbits=nbits) for _ in range(L)]
+    assert qts[0].superblock_ == 1024      # T=8 -> pipe path active
+    packed = jnp.stack([t.packed for t in qts])
+    scale = jnp.stack([t.scale for t in qts])
+    zero = jnp.stack([t.zero for t in qts])
+    x = jnp.asarray(rng.normal(size=(1, K))).astype(jnp.bfloat16)
+
+    for i in range(L):
+        with pltpu.force_tpu_interpret_mode():
+            got = quant_matmul_indexed(
+                x, packed, scale, zero, jnp.int32(i),
+                nbits=nbits, group_size=128, shape=(N, K),
+                superblock=1024, acc_dtype=jnp.bfloat16)
+        want = quant_matmul_reference(x, qts[i], out_dtype=jnp.float32)
+        scl = float(jnp.abs(want).max())
+        np.testing.assert_allclose(np.asarray(got, np.float32) / scl,
+                                   np.asarray(want) / scl, atol=2e-2)
+
+    # swiglu-fused pipe path
+    gate = jnp.asarray(rng.normal(size=(1, K))).astype(jnp.bfloat16)
+    up = jnp.asarray(rng.normal(size=(1, K))).astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        got = quant_matmul_swiglu_indexed(
+            gate, up, packed, scale, zero, jnp.int32(0),
+            nbits=nbits, group_size=128, shape=(N, K),
+            superblock=1024, acc_dtype=jnp.bfloat16)
+    xs = (gate.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))
+          * up.astype(jnp.float32)).astype(jnp.bfloat16)
+    want = quant_matmul_reference(xs, qts[0], out_dtype=jnp.float32)
+    scl = float(jnp.abs(want).max())
+    np.testing.assert_allclose(np.asarray(got, np.float32) / scl,
+                               np.asarray(want) / scl, atol=2e-2)
