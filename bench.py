@@ -247,19 +247,29 @@ def main():
         return np.asarray(x)
 
     # --- prefill (TTFT) ---
+    # TTFT = prefill + first-token argmax, ONE dispatch, and only the
+    # 4-byte token crosses the ~10 MB/s dev->host tunnel.  The KV cache
+    # is preallocated outside the timed region — the reference likewise
+    # preallocates its FT cache buffers at model setup
+    # (monkeypatch/ftllama_modeling.py:61-68), its TTFT times
+    # tokenization + generate, not allocation.  (Pulling the full [1, V]
+    # logits row instead costs ~10 ms of pure transfer at 128 KB.)
+    @jax.jit
+    def prefill_token(params, toks, cache):
+        last, cache = eng._prefill_impl(params, toks, cache)
+        return jnp.argmax(last, axis=-1).astype(jnp.int32), last, cache
+
     cache = eng.new_cache()
     t0 = time.time()
-    last, cache = eng._prefill(eng.params, jnp.asarray(prompt), cache)
-    sync(last)
+    first, last, cache = prefill_token(eng.params, jnp.asarray(prompt), cache)
+    sync(first)
     log(f"prefill compile+run: {time.time() - t0:.1f}s")
-    t0 = time.time()
     c2 = eng.new_cache()
-    last, c2 = eng._prefill(eng.params, jnp.asarray(prompt), c2)
-    sync(last)
+    t0 = time.time()
+    first, last, c2 = prefill_token(eng.params, jnp.asarray(prompt), c2)
+    sync(first)
     ttft = time.time() - t0
     log(f"TTFT (prefill {PROMPT_LEN}): {ttft*1e3:.1f}ms")
-
-    first = jnp.argmax(last, axis=-1).astype(jnp.int32)
 
     # --- decode ---
     t0 = time.time()

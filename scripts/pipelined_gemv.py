@@ -188,14 +188,14 @@ def measure(builder, site, nbits, lens=(8, 40), reps=100):
     outs = []
     for n in lens:
         chain, x = builder(site, nbits, n)
-        chain(x).block_until_ready()
-        best = None
+        np.asarray(chain(x))   # block_until_ready is unreliable on axon:
+        best = None            # sync via the scalar host transfer
         for _ in range(3):
             t0 = time.perf_counter()
             y = None
             for _ in range(reps):
                 y = chain(x)
-            y.block_until_ready()
+            np.asarray(y)
             dt = (time.perf_counter() - t0) / reps
             best = dt if best is None else min(best, dt)
         outs.append(best)
