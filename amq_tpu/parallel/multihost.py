@@ -28,13 +28,32 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def pod_mesh(tensor_per_host: Optional[int] = None):
-    """Mesh ('data', 'tensor') with the tensor axis inside each host."""
+    """Mesh ('data', 'tensor') with the tensor axis inside each host.
+
+    Built by grouping ``jax.devices()`` by ``process_index`` explicitly —
+    NOT by reshaping the flat device list, whose ordering JAX does not
+    guarantee to be host-major.  Every 'tensor' row is therefore
+    single-process by construction (collectives over it ride ICI); the
+    'data' axis enumerates the per-host rows (DCN).  A ``tensor_per_host``
+    larger than a host's device count is rejected — a tensor axis over
+    DCN defeats the layout's purpose; compose meshes manually if that is
+    really wanted.
+    """
     import jax
     from jax.sharding import Mesh
 
-    devs = np.array(jax.devices())
-    n_local = len(jax.local_devices())
+    by_proc = {}
+    for d in jax.devices():
+        by_proc.setdefault(d.process_index, []).append(d)
+    counts = {len(v) for v in by_proc.values()}
+    assert len(counts) == 1, f"uneven local device counts: {by_proc}"
+    n_local = counts.pop()
     tensor = tensor_per_host or n_local
-    assert devs.size % tensor == 0
-    return Mesh(devs.reshape(devs.size // tensor, tensor),
-                ("data", "tensor"))
+    assert n_local % tensor == 0, (
+        f"tensor_per_host={tensor} must divide the {n_local} local "
+        f"devices of each host")
+    rows = []
+    for pid in sorted(by_proc):
+        host = sorted(by_proc[pid], key=lambda d: d.id)
+        rows.extend(host[i:i + tensor] for i in range(0, n_local, tensor))
+    return Mesh(np.array(rows), ("data", "tensor"))

@@ -84,3 +84,21 @@ def test_two_process_pod_mesh(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"proc {i} ok: psum=" in out, out
+
+
+def test_pod_mesh_single_process_splits():
+    """Single-process: pod_mesh splits the 8 local CPU devices into
+    per-host tensor rows; tensor_per_host must divide the local count."""
+    import jax
+    from amq_tpu.parallel import multihost
+
+    mesh = multihost.pod_mesh(tensor_per_host=4)
+    assert dict(mesh.shape) == {"data": 2, "tensor": 4}
+    for row in mesh.devices:
+        assert len({d.process_index for d in row}) == 1
+
+    mesh1 = multihost.pod_mesh(tensor_per_host=1)
+    assert dict(mesh1.shape) == {"data": 8, "tensor": 1}
+
+    with pytest.raises(AssertionError):
+        multihost.pod_mesh(tensor_per_host=3)
