@@ -80,7 +80,8 @@ def main():
               for i in range(N_HALVES)}
     t0 = time.time()
     ev = Evaluator(cfg, dense_params=params, datasets=dict(halves),
-                   batch_size=8, compute_dtype=jnp.bfloat16,
+                   batch_size=int(os.environ.get("BATCH", "8")),
+                   compute_dtype=jnp.bfloat16,
                    dense_logits_device=True, defer_logit_cache=True)
     params = None
     t_init = time.time() - t0
