@@ -48,6 +48,9 @@ import jax.numpy as jnp  # noqa: E402
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("PIPE_PLATFORM"):
+    # the axon TPU plugin ignores JAX_PLATFORMS; config works (conftest)
+    jax.config.update("jax_platforms", os.environ["PIPE_PLATFORM"])
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from amq_tpu.models import get_config, init_params  # noqa: E402
@@ -62,6 +65,11 @@ N_HALVES = int(os.environ.get("N_HALVES", "2"))
 SEQLEN = int(os.environ.get("SEQLEN", "2048"))
 SEARCH_N = int(os.environ.get("SEARCH_N_SAMPLE", "16"))
 OUT = os.environ.get("OUT", "benchmarks")
+
+
+def pytree_gib(tree) -> float:
+    return sum(x.nbytes for x in jax.tree.leaves(tree)
+               if hasattr(x, "nbytes")) / 2**30
 
 
 def main():
@@ -79,14 +87,19 @@ def main():
     halves = {f"sens{i}": toks[i * per:(i + 1) * per]
               for i in range(N_HALVES)}
     t0 = time.time()
+    # sensitivity only ever selects {probe_bits=2, max_bits=4}: building
+    # the Evaluator WITHOUT the 3-bit proxy stack frees ~2.7 GB of HBM
+    # for the probe transients (the full three-stack + fp8-cache resident
+    # set OOMed the 16 GB chip three times at this stage); the search
+    # stage below rebuilds a full-bits evaluator
     ev = Evaluator(cfg, dense_params=params, datasets=dict(halves),
                    batch_size=int(os.environ.get("BATCH", "8")),
-                   compute_dtype=jnp.bfloat16,
+                   compute_dtype=jnp.bfloat16, bits_range=(2, 4),
                    dense_logits_device=True, defer_logit_cache=True)
-    params = None
     t_init = time.time() - t0
-    print(f"Evaluator init (3 proxies, logit cache deferred): "
-          f"{t_init:.0f}s", flush=True)
+    print(f"Evaluator init (2/4-bit proxies, logit cache deferred): "
+          f"{t_init:.0f}s; stacks on device: "
+          f"{pytree_gib(ev.switch_params):.2f} GiB", flush=True)
 
     # ---- stage 2: sensitivity at the reference artifact scale ----
     sens_path = os.path.join(
@@ -135,12 +148,24 @@ def main():
           f"-> {sens_path}", flush=True)
 
     # ---- stage 3: search (>= 20 iterations, reference loop shape) ----
-    # reuse the final half's device-cached logits for the search slice
-    last = list(halves)[-1]
-    ev.alias_dataset("search", last, SEARCH_N)
-    # eval_many evaluates every dataset in ev.datasets — drop the
-    # sensitivity halves (one is freed) so the search only pays "search"
-    ev.datasets = {"search": ev.datasets["search"]}
+    # fresh full-bits evaluator on the search slice: the sensitivity
+    # evaluator had no 3-bit stack (memory plan above).  Freeing it
+    # releases the 2/4-bit stacks and the pinned sensitivity cache
+    # before the three search stacks go up.
+    del ev
+    import gc
+    gc.collect()
+    t0 = time.time()
+    ev = Evaluator(cfg, dense_params=params,
+                   datasets={"search": toks[:SEARCH_N]},
+                   batch_size=int(os.environ.get("BATCH", "8")),
+                   compute_dtype=jnp.bfloat16,
+                   dense_logits_device=True, defer_logit_cache=True)
+    params = None
+    ev.cache_dataset("search")
+    print(f"search evaluator (3 proxies + {SEARCH_N}-sample cache): "
+          f"{time.time()-t0:.0f}s; stacks "
+          f"{pytree_gib(ev.switch_params):.2f} GiB", flush=True)
     pass_list = prune_by_sensitivity(table, 2.0)
     print(f"pass_linear_list ({len(pass_list)}): {pass_list}", flush=True)
     space = SearchSpace(cfg.topology(), group_size=128,
