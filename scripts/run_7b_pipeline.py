@@ -86,20 +86,22 @@ def main():
     per = N_SAMPLE // N_HALVES
     halves = {f"sens{i}": toks[i * per:(i + 1) * per]
               for i in range(N_HALVES)}
-    t0 = time.time()
-    # sensitivity only ever selects {probe_bits=2, max_bits=4}: building
-    # the Evaluator WITHOUT the 3-bit proxy stack frees ~2.7 GB of HBM
-    # for the probe transients (the full three-stack + fp8-cache resident
-    # set OOMed the 16 GB chip three times at this stage); the search
-    # stage below rebuilds a full-bits evaluator
-    ev = Evaluator(cfg, dense_params=params, datasets=dict(halves),
-                   batch_size=int(os.environ.get("BATCH", "8")),
-                   compute_dtype=jnp.bfloat16, bits_range=(2, 4),
-                   dense_logits_device=True, defer_logit_cache=True)
-    t_init = time.time() - t0
-    print(f"Evaluator init (2/4-bit proxies, logit cache deferred): "
-          f"{t_init:.0f}s; stacks on device: "
-          f"{pytree_gib(ev.switch_params):.2f} GiB", flush=True)
+    skip_sens = os.environ.get("SKIP_SENS", "0") == "1"
+    if not skip_sens:
+        t0 = time.time()
+        # sensitivity only ever selects {probe_bits=2, max_bits=4}:
+        # building the Evaluator WITHOUT the 3-bit proxy stack frees
+        # ~2.7 GB of HBM for the probe transients (the full three-stack +
+        # fp8-cache resident set OOMed the 16 GB chip three times at this
+        # stage); the search stage below rebuilds a full-bits evaluator
+        ev = Evaluator(cfg, dense_params=params, datasets=dict(halves),
+                       batch_size=int(os.environ.get("BATCH", "8")),
+                       compute_dtype=jnp.bfloat16, bits_range=(2, 4),
+                       dense_logits_device=True, defer_logit_cache=True)
+        t_init = time.time() - t0
+        print(f"Evaluator init (2/4-bit proxies, logit cache deferred): "
+              f"{t_init:.0f}s; stacks on device: "
+              f"{pytree_gib(ev.switch_params):.2f} GiB", flush=True)
 
     # ---- stage 2: sensitivity at the reference artifact scale ----
     sens_path = os.path.join(
@@ -107,52 +109,61 @@ def main():
         f"{cfg.name}_dataset_synthetic_n_sample_{N_SAMPLE}"
         f"_seqlen_{SEQLEN}.json")
     os.makedirs(os.path.dirname(sens_path), exist_ok=True)
-    t_sens = time.time()
-    tables = []
-    table = None
-    for i, name in enumerate(halves):
-        t0 = time.time()
-        ev.cache_dataset(name)
-        print(f"half {name}: dense logits cached on device in "
-              f"{time.time()-t0:.0f}s "
-              f"({ev._dense_dev_bytes/2**30:.1f} GiB pinned)", flush=True)
-        tables.append(linear_sensitivity(ev, name, progress=True))
-        print(f"half {name}: {len(tables[-1]['loss'])} probes in "
-              f"{tables[-1]['time_elapsed']:.0f}s", flush=True)
-        if i + 1 < len(halves):
-            ev.free_dataset(name)
-        # incremental artifact: equal slices -> plain mean over completed
-        # slices is the sample mean so far (wall-clock-safe checkpoints)
-        loss = {k: float(np.mean([t["loss"][k] for t in tables]))
-                for k in tables[0]["loss"]}
-        table = {
-            "loss": loss,
-            "time_elapsed": time.time() - t_sens,
-            "dataset": "synthetic",
-            "n_block": cfg.num_layers,
-            "linear": tables[0]["linear"],
-            "n_sample": (i + 1) * per,
-            "n_sample_target": N_SAMPLE,
-            "seqlen": SEQLEN,
-            "strategy": f"suffix, {N_HALVES} device-cached sample slices",
-        }
-        with open(sens_path, "w") as f:
-            json.dump(table, f)
-        print(f"[checkpoint] {sens_path} @ {(i + 1) * per} samples",
-              flush=True)
-    n_probe = len(table["loss"])
-    print(f"sensitivity: {n_probe} probes x {N_SAMPLE}x{SEQLEN} in "
-          f"{table['time_elapsed']:.1f}s "
-          f"({table['time_elapsed']/n_probe:.2f} s/probe incl. logit "
-          f"caching; reference artifact: 377.3 s multi-GPU) "
-          f"-> {sens_path}", flush=True)
+    if skip_sens:
+        # reuse a completed sensitivity artifact (search-only rerun)
+        with open(sens_path) as f:
+            table = json.load(f)
+        print(f"SKIP_SENS=1: loaded {sens_path} "
+              f"({table.get('n_sample')}/{N_SAMPLE} samples)", flush=True)
+    else:
+        t_sens = time.time()
+        tables = []
+        table = None
+        for i, name in enumerate(halves):
+            t0 = time.time()
+            ev.cache_dataset(name)
+            print(f"half {name}: dense logits cached on device in "
+                  f"{time.time()-t0:.0f}s "
+                  f"({ev._dense_dev_bytes/2**30:.1f} GiB pinned)", flush=True)
+            tables.append(linear_sensitivity(ev, name, progress=True))
+            print(f"half {name}: {len(tables[-1]['loss'])} probes in "
+                  f"{tables[-1]['time_elapsed']:.0f}s", flush=True)
+            if i + 1 < len(halves):
+                ev.free_dataset(name)
+            # incremental artifact: equal slices -> plain mean over completed
+            # slices is the sample mean so far (wall-clock-safe checkpoints)
+            loss = {k: float(np.mean([t["loss"][k] for t in tables]))
+                    for k in tables[0]["loss"]}
+            table = {
+                "loss": loss,
+                "time_elapsed": time.time() - t_sens,
+                "dataset": "synthetic",
+                "n_block": cfg.num_layers,
+                "linear": tables[0]["linear"],
+                "n_sample": (i + 1) * per,
+                "n_sample_target": N_SAMPLE,
+                "seqlen": SEQLEN,
+                "strategy": f"suffix, {N_HALVES} device-cached sample slices",
+            }
+            with open(sens_path, "w") as f:
+                json.dump(table, f)
+            print(f"[checkpoint] {sens_path} @ {(i + 1) * per} samples",
+                  flush=True)
+        n_probe = len(table["loss"])
+        print(f"sensitivity: {n_probe} probes x {N_SAMPLE}x{SEQLEN} in "
+              f"{table['time_elapsed']:.1f}s "
+              f"({table['time_elapsed']/n_probe:.2f} s/probe incl. logit "
+              f"caching; reference artifact: 377.3 s multi-GPU) "
+              f"-> {sens_path}", flush=True)
+
 
     # ---- stage 3: search (>= 20 iterations, reference loop shape) ----
     # fresh full-bits evaluator on the search slice: the sensitivity
     # evaluator had no 3-bit stack (memory plan above).  Freeing it
     # releases the 2/4-bit stacks and the pinned sensitivity cache
     # before the three search stacks go up.
-    del ev
+    if not skip_sens:
+        del ev
     import gc
     gc.collect()
     t0 = time.time()
