@@ -59,6 +59,8 @@ def get_lib(build: bool = True) -> Optional[ctypes.CDLL]:
     lib.amq_sched_active.restype = ctypes.c_int32
     lib.amq_sched_pending.argtypes = [ctypes.c_void_p]
     lib.amq_sched_pending.restype = ctypes.c_int64
+    lib.amq_sched_prefill.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.amq_sched_prefill.restype = ctypes.c_int32
     _lib = lib
     return lib
 
@@ -122,6 +124,12 @@ class NativeScheduler:
         retired = np.empty(self.n_slots, np.int32)
         n = self._lib.amq_sched_step(self._h, retired, self.n_slots)
         return retired[:n].tolist()
+
+    def prefill(self, slot: int) -> bool:
+        """Record the prefill's first token for ``slot``; True if retired."""
+        r = self._lib.amq_sched_prefill(self._h, slot)
+        assert r >= 0, f"prefill on empty slot {slot}"
+        return bool(r)
 
     @property
     def active(self) -> int:

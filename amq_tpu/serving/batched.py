@@ -310,11 +310,9 @@ class SlotEngine:
             for slot, req in batcher.fill_slots():
                 self.prefill(slot, req.prompt)
                 # the prefill's prediction is the first generated token
-                req.generated.append(int(self.next_token[slot]))
-                if len(req.generated) >= req.max_new_tokens:
-                    req.done = True
-                    batcher.slots[slot] = None
-                    results[req.uid] = req.generated
+                fin = batcher.prefill_bookkeeping(slot, self.next_token[slot])
+                if fin is not None:
+                    results[fin.uid] = fin.generated
             active = np.array([s is not None for s in batcher.slots])
             if not active.any():
                 break

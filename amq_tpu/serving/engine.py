@@ -137,26 +137,57 @@ class ContinuousBatcher:
     token for all active slots, finished slots are refilled from the
     queue.  The jitted step function has a fixed batch shape, so
     arrivals/departures never retrace.
+
+    Slot lifecycle (admission, FCFS fill, retirement counting) runs on
+    the native C++ scheduler (native/amq_native.cpp `Scheduler`) when the
+    library is available — the TPU-native counterpart of the runtime the
+    reference keeps in CUDA host code; token storage stays in Python
+    (tokens are the caller's data either way).  ``use_native=False`` or
+    AMQ_NATIVE_SCHED=0 forces the pure-Python path.
     """
 
-    def __init__(self, n_slots: int, max_len: int):
+    def __init__(self, n_slots: int, max_len: int,
+                 use_native: Optional[bool] = None):
         self.n_slots = n_slots
         self.max_len = max_len
         self.queue: List[Request] = []
         self.slots: List[Optional[Request]] = [None] * n_slots
+        self._by_uid: Dict[int, Request] = {}
+        self._native = None
+        if use_native is None:
+            import os
+            use_native = os.environ.get("AMQ_NATIVE_SCHED", "1") == "1"
+        if use_native:
+            try:
+                from ..native import NativeScheduler
+                self._native = NativeScheduler(n_slots)
+            except Exception:
+                self._native = None
 
     def submit(self, req: Request):
-        self.queue.append(req)
+        if self._native is not None:
+            self._native.submit(req.uid, req.max_new_tokens)
+            self._by_uid[req.uid] = req
+        else:
+            self.queue.append(req)
 
     @property
     def active(self) -> int:
         return sum(s is not None for s in self.slots)
 
     def has_work(self) -> bool:
+        if self._native is not None:
+            return self._native.pending > 0 or self._native.active > 0
         return bool(self.queue) or self.active > 0
 
     def fill_slots(self) -> List[Tuple[int, Request]]:
         filled = []
+        if self._native is not None:
+            for i, uid in self._native.fill():
+                req = self._by_uid.pop(uid)
+                self.slots[i] = req
+                filled.append((i, req))
+            return filled
         for i, slot in enumerate(self.slots):
             if slot is None and self.queue:
                 req = self.queue.pop(0)
@@ -164,9 +195,34 @@ class ContinuousBatcher:
                 filled.append((i, req))
         return filled
 
+    def prefill_bookkeeping(self, slot: int, token) -> Optional[Request]:
+        """Record the prefill's first generated token; the request retires
+        here iff max_new_tokens == 1.  Returns the retired request."""
+        req = self.slots[slot]
+        req.generated.append(int(token))
+        if self._native is not None:
+            done = self._native.prefill(slot)
+        else:
+            done = len(req.generated) >= req.max_new_tokens
+        if done:
+            req.done = True
+            self.slots[slot] = None
+            return req
+        return None
+
     def step_bookkeeping(self, tokens: np.ndarray) -> List[Request]:
         """Record one decoded token per slot; retire finished requests."""
         finished = []
+        if self._native is not None:
+            for i, req in enumerate(self.slots):
+                if req is not None:
+                    req.generated.append(int(tokens[i]))
+            for i in self._native.step():
+                req = self.slots[i]
+                req.done = True
+                self.slots[i] = None
+                finished.append(req)
+            return finished
         for i, req in enumerate(self.slots):
             if req is None:
                 continue

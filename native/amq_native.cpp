@@ -203,4 +203,20 @@ int64_t amq_sched_pending(void* h) {
   return static_cast<int64_t>(s->queue.size());
 }
 
+// records the prefill's first generated token for one slot; returns 1 if
+// the request retired (max_new_tokens == 1), else 0
+int32_t amq_sched_prefill(void* h, int32_t slot) {
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> lk(s->mu);
+  if (slot < 0 || static_cast<size_t>(slot) >= s->slots.size()) return -1;
+  Request& r = s->slots[slot];
+  if (r.uid < 0) return -1;
+  if (++r.generated >= r.max_new_tokens) {
+    r.uid = -1;
+    ++s->completed;
+    return 1;
+  }
+  return 0;
+}
+
 }  // extern "C"

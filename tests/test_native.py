@@ -46,3 +46,45 @@ def test_native_scheduler():
             break
     assert total_retired == 5
     assert s.active == 0 and s.pending == 0
+
+
+def test_native_batcher_matches_python():
+    """ContinuousBatcher with the native C++ scheduler core must make
+    exactly the decisions of the pure-Python path (FCFS fill order, slot
+    reuse, retirement timing incl. the prefill token and
+    max_new_tokens == 1 requests)."""
+    import numpy as np
+    from amq_tpu.serving.engine import ContinuousBatcher, Request
+
+    def drive(use_native):
+        b = ContinuousBatcher(n_slots=2, max_len=64, use_native=use_native)
+        if use_native:
+            assert b._native is not None
+        lens = [3, 1, 2, 4, 1, 2]
+        for uid, n in enumerate(lens):
+            b.submit(Request(uid=uid, prompt=np.zeros(4, np.int32),
+                             max_new_tokens=n))
+        log, results, t = [], {}, 0
+        while b.has_work() and t < 100:
+            for slot, req in b.fill_slots():
+                log.append(("fill", slot, req.uid))
+                fin = b.prefill_bookkeeping(slot, 100 + t)
+                if fin is not None:
+                    results[fin.uid] = fin.generated
+            active = [s is not None for s in b.slots]
+            if not any(active):
+                break
+            toks = np.arange(len(active)) + t * 10
+            for req in b.step_bookkeeping(toks):
+                results[req.uid] = req.generated
+                log.append(("done", req.uid))
+            t += 1
+        return log, results
+
+    log_py, res_py = drive(False)
+    log_nat, res_nat = drive(True)
+    assert log_py == log_nat
+    assert res_py == res_nat
+    assert set(res_py) == set(range(6))
+    for uid, n in enumerate([3, 1, 2, 4, 1, 2]):
+        assert len(res_py[uid]) == n
