@@ -64,7 +64,7 @@ _DUMMY_SCRATCH = pltpu.VMEM((8, 128), jnp.bfloat16)
 #: per-site.  In-model measurement: docs/ROADMAP.md round 3.
 import os as _os  # noqa: E402
 
-_KSUB_DEFAULT = int(_os.environ.get("AMQ_KSUB", "1"))
+_KSUB_DEFAULT = int(_os.environ.get("AMQ_KSUB", "2"))
 
 #: software-pipelined decode GEMV (AMQ_PIPE=1): per grid step, dot the
 #: codes extracted in the PREVIOUS step (VMEM scratch) while extracting

@@ -120,6 +120,14 @@ def main():
         tables = []
         table = None
         for i, name in enumerate(halves):
+            half_path = f"{sens_path}.{name}"
+            if os.path.exists(half_path):
+                # per-half resume: a prior (killed) run completed this slice
+                with open(half_path) as f:
+                    tables.append(json.load(f))
+                print(f"half {name}: resumed from {half_path} "
+                      f"({len(tables[-1]['loss'])} probes)", flush=True)
+                continue
             t0 = time.time()
             ev.cache_dataset(name)
             print(f"half {name}: dense logits cached on device in "
@@ -128,6 +136,8 @@ def main():
             tables.append(linear_sensitivity(ev, name, progress=True))
             print(f"half {name}: {len(tables[-1]['loss'])} probes in "
                   f"{tables[-1]['time_elapsed']:.0f}s", flush=True)
+            with open(half_path, "w") as f:
+                json.dump(tables[-1], f)
             if i + 1 < len(halves):
                 ev.free_dataset(name)
             # incremental artifact: equal slices -> plain mean over completed
