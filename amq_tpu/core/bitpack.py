@@ -42,7 +42,16 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-SUPPORTED_BITS = (1, 2, 3, 4, 8)
+SUPPORTED_BITS = (1, 2, 3, 4, 5, 6, 8)
+
+#: non-power-of-two widths as (hi_bits, lo_bits) plane pairs — the hi
+#: plane holds ``codes >> lo_bits``, the lo plane ``codes & (2**lo-1)``;
+#: each plane is pair-planar.  Exactly ``nbits`` bits/weight, same
+#: extraction machinery as the power-of-two widths (3-bit proved the
+#: scheme; 5/6-bit close the reference's SUPPORTED_BITS gap,
+#: hqq/core/quantize.py:37 — its 1.58-bit ternary mode is upstream-HQQ
+#: only and unused by AMQ's 2/3/4(+8) pipeline).
+_PLANE_SPLIT = {3: (2, 1), 5: (4, 1), 6: (4, 2)}
 
 #: packed uint32 rows per block row-count: rows(block, b) = block * b // 32
 def packed_rows(group_size: int, nbits: int) -> int:
@@ -126,19 +135,21 @@ def pack(codes: jnp.ndarray, nbits: int, group_size: int = 128) -> jnp.ndarray:
     ``group_size`` here is the *packing block* (planar unit) — pass the
     superblock from :func:`pick_superblock` for kernel-facing tensors; it
     need not equal the quantization group.  ``K`` must be a multiple of it
-    and ``block * nbits`` a multiple of 32.  For ``nbits == 3`` the result
-    is a 2-bit plane (codes >> 1) followed by a 1-bit plane (codes & 1)
-    per block.
+    and ``block * nbits`` a multiple of 32.  Non-power-of-two widths
+    (3/5/6) split into a hi + lo plane pair per block (``_PLANE_SPLIT``),
+    e.g. 3-bit = a 2-bit plane (codes >> 1) then a 1-bit plane (codes & 1).
     """
     assert nbits in SUPPORTED_BITS, nbits
     K, N = codes.shape
     assert K % group_size == 0, (K, group_size)
     G = K // group_size
     grouped = codes.reshape(G, group_size, N)
-    if nbits == 3:
-        hi = _pack_pow2_group((grouped.astype(jnp.uint32) >> 1) & 0x3, 2)
-        lo = _pack_pow2_group(grouped.astype(jnp.uint32) & 0x1, 1)
-        word = jnp.concatenate([hi, lo], axis=1)  # [G, 8+4 per 128-group, N]
+    if nbits in _PLANE_SPLIT:
+        hb, lb = _PLANE_SPLIT[nbits]
+        hi = _pack_pow2_group(
+            (grouped.astype(jnp.uint32) >> lb) & (2**hb - 1), hb)
+        lo = _pack_pow2_group(grouped.astype(jnp.uint32) & (2**lb - 1), lb)
+        word = jnp.concatenate([hi, lo], axis=1)  # [G, (hb+lb)*g/32, N]
     else:
         word = _pack_pow2_group(grouped, nbits)
     rows = packed_rows(group_size, nbits)
@@ -154,11 +165,12 @@ def unpack(words: jnp.ndarray, nbits: int, group_size: int = 128,
     assert R % rows == 0, (R, rows)
     G = R // rows
     w = words.reshape(G, rows, N)
-    if nbits == 3:
-        hi_rows = packed_rows(group_size, 2)
-        hi = _unpack_pow2_group(w[:, :hi_rows], 2, group_size)
-        lo = _unpack_pow2_group(w[:, hi_rows:], 1, group_size)
-        out = (hi << 1) | lo
+    if nbits in _PLANE_SPLIT:
+        hb, lb = _PLANE_SPLIT[nbits]
+        hi_rows = packed_rows(group_size, hb)
+        hi = _unpack_pow2_group(w[:, :hi_rows], hb, group_size)
+        lo = _unpack_pow2_group(w[:, hi_rows:], lb, group_size)
+        out = (hi << lb) | lo
     else:
         out = _unpack_pow2_group(w, nbits, group_size)
     return out.reshape(G * group_size, N).astype(dtype)

@@ -125,21 +125,24 @@ def main():
                 # per-half resume: a prior (killed) run completed this slice
                 with open(half_path) as f:
                     tables.append(json.load(f))
+                # elapsed accounting includes the prior run's slice time
+                t_sens -= tables[-1].get("time_elapsed", 0.0)
                 print(f"half {name}: resumed from {half_path} "
                       f"({len(tables[-1]['loss'])} probes)", flush=True)
-                continue
-            t0 = time.time()
-            ev.cache_dataset(name)
-            print(f"half {name}: dense logits cached on device in "
-                  f"{time.time()-t0:.0f}s "
-                  f"({ev._dense_dev_bytes/2**30:.1f} GiB pinned)", flush=True)
-            tables.append(linear_sensitivity(ev, name, progress=True))
-            print(f"half {name}: {len(tables[-1]['loss'])} probes in "
-                  f"{tables[-1]['time_elapsed']:.0f}s", flush=True)
-            with open(half_path, "w") as f:
-                json.dump(tables[-1], f)
-            if i + 1 < len(halves):
-                ev.free_dataset(name)
+            else:
+                t0 = time.time()
+                ev.cache_dataset(name)
+                print(f"half {name}: dense logits cached on device in "
+                      f"{time.time()-t0:.0f}s "
+                      f"({ev._dense_dev_bytes/2**30:.1f} GiB pinned)",
+                      flush=True)
+                tables.append(linear_sensitivity(ev, name, progress=True))
+                print(f"half {name}: {len(tables[-1]['loss'])} probes in "
+                      f"{tables[-1]['time_elapsed']:.0f}s", flush=True)
+                with open(half_path, "w") as f:
+                    json.dump(tables[-1], f)
+                if i + 1 < len(halves):
+                    ev.free_dataset(name)
             # incremental artifact: equal slices -> plain mean over completed
             # slices is the sample mean so far (wall-clock-safe checkpoints)
             loss = {k: float(np.mean([t["loss"][k] for t in tables]))

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from amq_tpu.core import quantize as q
 
 
-@pytest.mark.parametrize("nbits", [2, 3, 4, 8])
+@pytest.mark.parametrize("nbits", [2, 3, 4, 5, 6, 8])
 def test_roundtrip_error_bounded(nbits):
     rng = np.random.default_rng(0)
     W = rng.normal(size=(256, 512)).astype(np.float32)
