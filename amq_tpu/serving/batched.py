@@ -60,7 +60,8 @@ def _model_forward(model, cfg, tokens, cache: Optional[llama.KVCache],
                          compute_dtype=compute_dtype)
 
 
-@partial(jax.jit, static_argnames=("cfg", "slot_len", "compute_dtype", "impl"))
+@partial(jax.jit, static_argnames=("cfg", "slot_len", "compute_dtype", "impl"),
+         donate_argnames=("cache",))
 def prefill_slot(model, cfg: ModelConfig, tokens: jnp.ndarray,  # [1, S] padded
                  true_len: jnp.ndarray,   # scalar int32, <= S
                  cache: SlotCache, slot: jnp.ndarray,
@@ -219,11 +220,18 @@ def _decode_once(model: StackedModel, cfg: ModelConfig,
     return nxt, SlotCache(k=k_all, v=v_all, lengths=lengths)
 
 
+# the cache is donated at every serving dispatch boundary: without
+# donation XLA must materialize a full input-preserving copy of the KV
+# buffers [L, B, kv, T, hd] on EVERY call (gigabytes per step at real
+# slot counts — the single-sequence engine never pays this because its
+# whole generation is one on-device scan)
 decode_step = jax.jit(_decode_once,
-                      static_argnames=("cfg", "compute_dtype", "impl"))
+                      static_argnames=("cfg", "compute_dtype", "impl"),
+                      donate_argnames=("cache",))
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "compute_dtype", "impl"))
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "compute_dtype", "impl"),
+         donate_argnames=("cache",))
 def decode_chunk(model: StackedModel, cfg: ModelConfig,
                  tokens: jnp.ndarray, active: jnp.ndarray,
                  cache: SlotCache, n_steps: int,

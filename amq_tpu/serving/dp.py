@@ -38,7 +38,8 @@ from .batched import SlotCache, SlotEngine, _decode_once, _model_forward
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "n_steps", "compute_dtype", "impl", "mesh"))
+         static_argnames=("cfg", "n_steps", "compute_dtype", "impl", "mesh"),
+         donate_argnames=("k", "v", "lengths"))
 def _dp_decode_chunk(model, cfg: ModelConfig, tokens, active,
                      k, v, lengths, *, mesh: Mesh, n_steps: int,
                      compute_dtype=jnp.bfloat16, impl=None):
@@ -65,7 +66,8 @@ def _dp_decode_chunk(model, cfg: ModelConfig, tokens, active,
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "slot_len", "compute_dtype", "impl", "mesh"))
+         static_argnames=("cfg", "slot_len", "compute_dtype", "impl", "mesh"),
+         donate_argnames=("k", "v", "lengths"))
 def _dp_prefill(model, cfg: ModelConfig, tokens, true_len, slot,
                 k, v, lengths, *, mesh: Mesh, slot_len: int,
                 compute_dtype=jnp.bfloat16, impl=None):

@@ -61,9 +61,14 @@ class Engine:
 
     def __post_init__(self):
         self._impl = pallas_linear_impl if self.use_pallas else None
-        self._prefill = jax.jit(self._prefill_impl)
+        # cache buffers are donated: every caller threads the cache
+        # linearly (prefill -> decode -> drop), and without donation each
+        # dispatch copies the full KV buffers to preserve the input
+        self._prefill = jax.jit(self._prefill_impl,
+                                donate_argnames=("cache",))
         self._decode_n = jax.jit(self._decode_n_impl,
-                                 static_argnames=("n_steps",))
+                                 static_argnames=("n_steps",),
+                                 donate_argnames=("cache",))
 
     def new_cache(self) -> llama.KVCache:
         if self.cache_factory is not None:

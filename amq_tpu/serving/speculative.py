@@ -53,7 +53,8 @@ def _forward(params, cfg, tokens, cache, compute_dtype):
 
 
 @partial(jax.jit, static_argnames=("t_cfg", "d_cfg", "gamma", "max_new",
-                                   "compute_dtype", "impl"))
+                                   "compute_dtype", "impl"),
+         donate_argnames=("t_cache", "d_cache"))
 def speculative_decode(
     t_params, d_params,
     t_cfg: ModelConfig, d_cfg: ModelConfig,
