@@ -56,7 +56,6 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..models import quantize_model
-    from ..models.config import LINEAR_NAMES
     from ..models.stacked import SERVE_CONTAINERS, stack_proxies
     from ..serving import Engine
     from ..serving.benchmark import benchmark_speed, device_peak_info
@@ -88,9 +87,8 @@ def main(argv=None):
         with open(args.arch_json) as f:
             arch = json.load(f)
     else:
-        arch = {"linear": {l: [bits_range[(i + j) % 3]
-                               for i in range(cfg.num_layers)]
-                           for j, l in enumerate(LINEAR_NAMES)}}
+        from ..models.config import cycled_arch
+        arch = cycled_arch(cfg.num_layers, bits_range)
 
     model = stack_proxies(
         proxies, bits_range, arch,
@@ -137,7 +135,6 @@ def _owq_speed(args, cfg, params, jnp):
     OWQLinear applies the fused dequant-GEMV + outlier tail."""
     import json as _json
 
-    from ..models.config import LINEAR_NAMES
     from ..quantization import get_quantized_params
     from ..serving import Engine
     from ..serving.benchmark import benchmark_speed, device_peak_info
@@ -147,14 +144,18 @@ def _owq_speed(args, cfg, params, jnp):
         with open(args.arch_json) as f:
             arch = _json.load(f)
     else:
-        arch = {"linear": {l: [[2, 3, 4][(i + j) % 3]
-                               for i in range(cfg.num_layers)]
-                           for j, l in enumerate(LINEAR_NAMES)}}
+        from ..models.config import cycled_arch
+        arch = cycled_arch(cfg.num_layers)
 
     qparams = get_quantized_params(
         params, cfg, "owq", arch, avg_bits=args.target_bits,
         group_size=args.group_size, synthetic_calib=args.synthetic,
         n_samples=args.n_sample, packed=True)
+    # the PTQ pipeline parks quantized layers on host (committed arrays,
+    # calib.layer_to_host) — commit them to the serving device or the jit
+    # runs wherever the params are (i.e. CPU)
+    import jax
+    qparams = jax.device_put(qparams, jax.devices()[0])
     eng = Engine(qparams, cfg, batch_size=args.batch_size,
                  max_len=args.prompt_len + args.gen_len + 8,
                  compute_dtype=jnp.bfloat16, use_pallas=not args.no_pallas)

@@ -26,6 +26,15 @@ LINEAR_NAMES = (
 )
 
 
+def cycled_arch(num_layers: int, bits_range=(2, 3, 4)) -> dict:
+    """Default mixed-bit demo arch: bits cycled over (site, layer) so
+    every width appears at every depth — the benchmarks' shared stand-in
+    when no searched ``iter_N.stats`` arch is given."""
+    n = len(bits_range)
+    return {"linear": {l: [bits_range[(i + j) % n] for i in range(num_layers)]
+                       for j, l in enumerate(LINEAR_NAMES)}}
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     name: str

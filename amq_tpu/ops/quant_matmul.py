@@ -1137,6 +1137,11 @@ def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
     lead = x.shape[:-1]
     K = x.shape[-1]
     assert K == qt.in_features, (x.shape, qt.shape)
+    if qt.nbits not in (2, 3, 4, 8):
+        # 5/6-bit exist for HQQ-width parity (core/bitpack._PLANE_SPLIT)
+        # but AMQ's serving pipeline only packs 2/3/4(+8); the fused
+        # kernels' extraction covers exactly those widths
+        return quant_matmul_reference(x, qt, out_dtype=out_dtype)
     if acc_dtype is None:
         acc_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     x2 = x.reshape(-1, K)

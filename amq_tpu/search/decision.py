@@ -20,6 +20,9 @@ def high_tradeoff_points(F: np.ndarray, epsilon: float = 0.125,
     """Indices of high-tradeoff (knee) points of a 2-D objective set."""
     F = np.asarray(F, float)
     n = F.shape[0]
+    if n <= 1:
+        # a single point is trivially the knee (and has no neighbors)
+        return np.arange(n)
     if normalize:
         lo, hi = F.min(axis=0), F.max(axis=0)
         span = np.where(hi > lo, hi - lo, 1.0)
@@ -31,7 +34,7 @@ def high_tradeoff_points(F: np.ndarray, epsilon: float = 0.125,
         neighbors = np.where((d < epsilon) & (d > 0))[0]
         if neighbors.size == 0:
             # fall back to all others (pymoo NeighborFinder auto widening)
-            neighbors = np.array([j for j in range(n) if j != i])
+            neighbors = np.array([j for j in range(n) if j != i], int)
         diff = F[neighbors] - F[i]
         sacrifice = np.maximum(0, diff).sum(axis=1)
         gain = np.maximum(0, -diff).sum(axis=1)
@@ -40,7 +43,9 @@ def high_tradeoff_points(F: np.ndarray, epsilon: float = 0.125,
         mu[i] = np.nanmin(tradeoff)
 
     if n_survive is not None:
-        return np.argsort(mu)[-n_survive:]
+        # best knee first (descending mu) — callers treat index 0 as the
+        # primary pick, matching the ASF path's ordering contract
+        return np.argsort(mu)[::-1][:n_survive]
     # outliers above 2 sigma (pymoo find_outliers_upper_tail)
     finite = mu[np.isfinite(mu)]
     if finite.size == 0:

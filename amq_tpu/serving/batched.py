@@ -323,7 +323,10 @@ class SlotEngine:
                     results[fin.uid] = fin.generated
             active = np.array([s is not None for s in batcher.slots])
             if not active.any():
-                break
+                # every active slot retired at prefill (e.g. max_new=1);
+                # queued requests may remain — refill, don't exit
+                steps += 1
+                continue
             if self.chunk_steps > 1:
                 toks = self.step_chunk(active, self.chunk_steps)
                 for j in range(toks.shape[1]):

@@ -43,15 +43,18 @@ def main():
     jax.block_until_ready(model.embed)
 
     for n_slots in (1, 2, 4, 8):
-        eng = SlotEngine(model, cfg, n_slots=n_slots, max_len=MAX_LEN,
-                         compute_dtype=jnp.bfloat16, use_pallas=True,
-                         prefill_buckets=(PROMPT,), chunk_steps=8)
-        for slot in range(n_slots):
-            prompt = rng.integers(0, cfg.vocab_size, PROMPT).astype(np.int32)
-            eng.prefill(slot, prompt)
-        active = np.ones(n_slots, bool)
-
         for chunk in (8, 32):
+            # fresh engine per config: accumulated steps would otherwise
+            # push lengths past MAX_LEN and the timed chunks would measure
+            # clamped out-of-bounds cache writes, not steady-state decode
+            eng = SlotEngine(model, cfg, n_slots=n_slots, max_len=MAX_LEN,
+                             compute_dtype=jnp.bfloat16, use_pallas=True,
+                             prefill_buckets=(PROMPT,), chunk_steps=8)
+            for slot in range(n_slots):
+                prompt = rng.integers(0, cfg.vocab_size,
+                                      PROMPT).astype(np.int32)
+                eng.prefill(slot, prompt)
+            active = np.ones(n_slots, bool)
             eng.step_chunk(active, chunk)        # warmup/compile
             best = None
             for _ in range(3):

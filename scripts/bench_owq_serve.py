@@ -32,7 +32,6 @@ if os.environ.get("OWQ_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["OWQ_PLATFORM"])
 
 from amq_tpu.models import get_config, init_params  # noqa: E402
-from amq_tpu.models.config import LINEAR_NAMES  # noqa: E402
 from amq_tpu.evaluation.data import synthetic_tokens  # noqa: E402
 from amq_tpu.serving import Engine  # noqa: E402
 
@@ -61,8 +60,8 @@ def main():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    arch = {"linear": {l: [[2, 3, 4][(i + j) % 3] for i in range(LAYERS)]
-                       for j, l in enumerate(LINEAR_NAMES)}}
+    from amq_tpu.models.config import cycled_arch
+    arch = cycled_arch(LAYERS)
     prompt = rng.integers(0, cfg.vocab_size, (1, PROMPT)).astype(np.int32)
     calib = synthetic_tokens(cfg.vocab_size, n_sample=N_CALIB, seqlen=512,
                              seed=7)
@@ -73,6 +72,9 @@ def main():
     owq_params = owq_quantize_model(params, cfg, arch, TARGET_BITS,
                                     calib, packed=True, progress=True)
     print(f"owq packed realization: {time.time()-t0:.0f}s", flush=True)
+    # quantized layers are host-committed (calib.layer_to_host) — move
+    # them to the chip or the "TPU" numbers measure the CPU backend
+    owq_params = jax.device_put(owq_params, jax.devices()[0])
     eng_owq = Engine(owq_params, cfg, batch_size=1,
                      max_len=PROMPT + GEN + 8, compute_dtype=jnp.bfloat16,
                      use_pallas=True)

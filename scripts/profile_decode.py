@@ -49,9 +49,13 @@ def main():
     last, cache = eng._prefill(eng.params, jnp.asarray(prompt), cache)
     first = jnp.argmax(last, axis=-1).astype(jnp.int32)
     np.asarray(first)
-    # warm decode compile
+    # warm decode compile (donates `cache` — rebuild it for the traced run)
     toks, _ = eng._decode_n(eng.params, first, cache, n_steps=16)
     np.asarray(toks)
+    cache = eng.new_cache()
+    last, cache = eng._prefill(eng.params, jnp.asarray(prompt), cache)
+    first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+    np.asarray(first)
 
     logdir = "/tmp/amq_prof"
     os.system(f"rm -rf {logdir}")

@@ -87,21 +87,27 @@ def main():
     halves = {f"sens{i}": toks[i * per:(i + 1) * per]
               for i in range(N_HALVES)}
     skip_sens = os.environ.get("SKIP_SENS", "0") == "1"
-    if not skip_sens:
-        t0 = time.time()
+    ev = None
+
+    def sens_evaluator():
         # sensitivity only ever selects {probe_bits=2, max_bits=4}:
         # building the Evaluator WITHOUT the 3-bit proxy stack frees
         # ~2.7 GB of HBM for the probe transients (the full three-stack +
         # fp8-cache resident set OOMed the 16 GB chip three times at this
-        # stage); the search stage below rebuilds a full-bits evaluator
-        ev = Evaluator(cfg, dense_params=params, datasets=dict(halves),
-                       batch_size=int(os.environ.get("BATCH", "8")),
-                       compute_dtype=jnp.bfloat16, bits_range=(2, 4),
-                       dense_logits_device=True, defer_logit_cache=True)
-        t_init = time.time() - t0
-        print(f"Evaluator init (2/4-bit proxies, logit cache deferred): "
-              f"{t_init:.0f}s; stacks on device: "
-              f"{pytree_gib(ev.switch_params):.2f} GiB", flush=True)
+        # stage); the search stage below rebuilds a full-bits evaluator.
+        # Built lazily: a rerun whose halves all resume from .sensN
+        # checkpoints never pays the init (minutes + GiBs of HBM)
+        nonlocal ev
+        if ev is None:
+            t0 = time.time()
+            ev = Evaluator(cfg, dense_params=params, datasets=dict(halves),
+                           batch_size=int(os.environ.get("BATCH", "8")),
+                           compute_dtype=jnp.bfloat16, bits_range=(2, 4),
+                           dense_logits_device=True, defer_logit_cache=True)
+            print(f"Evaluator init (2/4-bit proxies, logit cache deferred): "
+                  f"{time.time()-t0:.0f}s; stacks on device: "
+                  f"{pytree_gib(ev.switch_params):.2f} GiB", flush=True)
+        return ev
 
     # ---- stage 2: sensitivity at the reference artifact scale ----
     sens_path = os.path.join(
@@ -130,19 +136,20 @@ def main():
                 print(f"half {name}: resumed from {half_path} "
                       f"({len(tables[-1]['loss'])} probes)", flush=True)
             else:
+                e = sens_evaluator()
                 t0 = time.time()
-                ev.cache_dataset(name)
+                e.cache_dataset(name)
                 print(f"half {name}: dense logits cached on device in "
                       f"{time.time()-t0:.0f}s "
-                      f"({ev._dense_dev_bytes/2**30:.1f} GiB pinned)",
+                      f"({e._dense_dev_bytes/2**30:.1f} GiB pinned)",
                       flush=True)
-                tables.append(linear_sensitivity(ev, name, progress=True))
+                tables.append(linear_sensitivity(e, name, progress=True))
                 print(f"half {name}: {len(tables[-1]['loss'])} probes in "
                       f"{tables[-1]['time_elapsed']:.0f}s", flush=True)
                 with open(half_path, "w") as f:
                     json.dump(tables[-1], f)
                 if i + 1 < len(halves):
-                    ev.free_dataset(name)
+                    e.free_dataset(name)
             # incremental artifact: equal slices -> plain mean over completed
             # slices is the sample mean so far (wall-clock-safe checkpoints)
             loss = {k: float(np.mean([t["loss"][k] for t in tables]))
@@ -175,8 +182,7 @@ def main():
     # evaluator had no 3-bit stack (memory plan above).  Freeing it
     # releases the 2/4-bit stacks and the pinned sensitivity cache
     # before the three search stacks go up.
-    if not skip_sens:
-        del ev
+    del ev
     import gc
     gc.collect()
     t0 = time.time()

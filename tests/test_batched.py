@@ -54,6 +54,27 @@ def test_slot_batching_matches_single(setup):
 
 
 @pytest.mark.slow
+def test_all_slots_retire_at_prefill_queue_drains(setup):
+    """max_new=1 requests retire at prefill; with every slot empty and
+    requests still queued, run() must refill rather than exit early."""
+    cfg, model = setup
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, cfg.vocab_size, 5).astype(np.int32)
+               for _ in range(4)]
+    eng = SlotEngine(model, cfg, n_slots=2, max_len=64,
+                     compute_dtype=jnp.float32, use_pallas=False,
+                     prefill_buckets=(8,))
+    batcher = ContinuousBatcher(n_slots=2, max_len=64)
+    for i, p in enumerate(prompts):
+        batcher.submit(Request(uid=i, prompt=p, max_new_tokens=1))
+    results = eng.run(batcher)
+    assert set(results) == set(range(4))
+    for uid, p in enumerate(prompts):
+        want = _reference_greedy(cfg, model, p, 1).tolist()
+        assert results[uid] == want, (uid, results[uid], want)
+
+
+@pytest.mark.slow
 def test_chunked_slot_batching_matches_single(setup):
     cfg, model = setup
     rng = np.random.default_rng(1)
