@@ -30,6 +30,21 @@ def test_matches_reference(nbits, M):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("nbits", [5, 6])
+def test_parity_widths_route_to_xla(nbits):
+    """5/6-bit (HQQ-width parity) have no kernel extraction — quant_matmul
+    must fall back to the XLA dequant path rather than trace a kernel."""
+    rng = np.random.default_rng(0)
+    N, K = 256, 512
+    W = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32))
+    qt = q.quantize(W, nbits=nbits, group_size=128)
+    x = jnp.asarray(rng.normal(size=(4, K)).astype(np.float32))
+    # no interpret context: a kernel trace would fail on CPU
+    got = quant_matmul(x, qt)
+    want = quant_matmul_reference(x, qt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
 @pytest.mark.parametrize("nbits", [2, 3, 4, 8])
 @pytest.mark.parametrize("M", [1, 4])
 def test_decode_gemv_bf16_matches_reference(nbits, M):
