@@ -31,12 +31,27 @@ def get_lib(build: bool = True) -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and (not build or not _build()):
+    # ALWAYS make (dependency-tracked no-op when fresh): a stale prebuilt
+    # .so from an older checkout would load but miss newer symbols
+    if build:
+        _build()
+    if not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        # stale .so missing newer symbols and no toolchain to rebuild —
+        # honor the "pure-Python fallback" contract rather than crash
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     lib.amq_pack.argtypes = [u32p, u32p, ctypes.c_int64, ctypes.c_int64,
                              ctypes.c_int64, ctypes.c_int]
@@ -61,15 +76,18 @@ def get_lib(build: bool = True) -> Optional[ctypes.CDLL]:
     lib.amq_sched_pending.restype = ctypes.c_int64
     lib.amq_sched_prefill.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.amq_sched_prefill.restype = ctypes.c_int32
-    _lib = lib
-    return lib
+
+
+#: widths the C++ packer implements (bitpack.py additionally plane-splits
+#: 5/6-bit — jnp-only; callers fall back to bitpack for those)
+_NATIVE_BITS = (1, 2, 3, 4, 8)
 
 
 def pack_native(codes: np.ndarray, nbits: int,
                 group_size: int = 128) -> Optional[np.ndarray]:
-    """Native pack; returns None when the library is unavailable."""
+    """Native pack; None when the library or the width is unavailable."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or nbits not in _NATIVE_BITS:
         return None
     codes = np.ascontiguousarray(codes, np.uint32)
     K, N = codes.shape
@@ -83,7 +101,7 @@ def pack_native(codes: np.ndarray, nbits: int,
 def unpack_native(words: np.ndarray, nbits: int, K: int,
                   group_size: int = 128) -> Optional[np.ndarray]:
     lib = get_lib()
-    if lib is None:
+    if lib is None or nbits not in _NATIVE_BITS:
         return None
     words = np.ascontiguousarray(words, np.uint32)
     N = words.shape[1]
@@ -128,7 +146,10 @@ class NativeScheduler:
     def prefill(self, slot: int) -> bool:
         """Record the prefill's first token for ``slot``; True if retired."""
         r = self._lib.amq_sched_prefill(self._h, slot)
-        assert r >= 0, f"prefill on empty slot {slot}"
+        if r < 0:
+            # a real error, not a control value: under `python -O` an
+            # assert would vanish and -1 would read as "retired"
+            raise RuntimeError(f"prefill on empty slot {slot}")
         return bool(r)
 
     @property

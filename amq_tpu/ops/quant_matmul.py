@@ -582,7 +582,7 @@ def _qmm_kernel_swiglu_pipe(idx_ref, g_ref, u_ref, w_ref, s_ref, z_ref,
                                     u_ref=u_ref, **kw)
 
 
-def _pipe_specs(L, Kt, T, rows_per_tile, bn, bm, bk, swiglu=False):
+def _pipe_specs(Kt, T, rows_per_tile, bn, bm, bk, swiglu=False):
     """Index maps for the pipelined decode GEMV: x/meta shifted to tile
     k-1 (clamped — the k=0 fetch is reused at k=1), packed clamped to
     tile Kt-1 at the drain step (same index -> Pallas skips the copy)."""
@@ -664,7 +664,7 @@ def quant_matmul_indexed(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(Np // bn, Kt + 1, 1),
-            in_specs=_pipe_specs(L, Kt, T, rows_per_tile, bn, bm, bk),
+            in_specs=_pipe_specs(Kt, T, rows_per_tile, bn, bm, bk),
             out_specs=pl.BlockSpec((bm, bn), lambda n, k, m, idx: (m, n)),
             scratch_shapes=[pltpu.VMEM((2, bk, bn), jnp.bfloat16)],
         )
@@ -861,7 +861,7 @@ def quant_matmul_swiglu_indexed(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(Np // bn, Kt + 1, 1),
-            in_specs=_pipe_specs(L, Kt, T, rows_per_tile, bn, bm, bk,
+            in_specs=_pipe_specs(Kt, T, rows_per_tile, bn, bm, bk,
                                  swiglu=True),
             out_specs=pl.BlockSpec((bm, bn), lambda n, k, m, idx: (m, n)),
             scratch_shapes=[pltpu.VMEM((2, bk, bn), jnp.bfloat16)],
@@ -1137,10 +1137,10 @@ def quant_matmul(x: jnp.ndarray, qt: QuantizedTensor,
     lead = x.shape[:-1]
     K = x.shape[-1]
     assert K == qt.in_features, (x.shape, qt.shape)
-    if qt.nbits not in (2, 3, 4, 8):
+    if qt.nbits not in (1, 2, 3, 4, 8):
         # 5/6-bit exist for HQQ-width parity (core/bitpack._PLANE_SPLIT)
-        # but AMQ's serving pipeline only packs 2/3/4(+8); the fused
-        # kernels' extraction covers exactly those widths
+        # but AMQ's serving pipeline only packs 2/3/4(+8, and the kernel
+        # extraction also covers 1); plane-split widths take the XLA path
         return quant_matmul_reference(x, qt, out_dtype=out_dtype)
     if acc_dtype is None:
         acc_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32

@@ -71,23 +71,14 @@ def benchmark_speed(engine: Engine, mode: str = "TPS", prompt_len: int = 64,
         # The cache is preallocated outside the timed region, matching
         # the reference's setup-time FT buffers
         # (monkeypatch/ftllama_modeling.py:61-68).
-        import jax
-
-        @jax.jit
-        def prefill_token(params, toks, cache):
-            last, cache = engine._prefill_impl(params, toks, cache)
-            # the cache must be a live output: returning only the token
-            # would let XLA dead-code-eliminate every KV-cache write and
-            # time a prefill no decode could follow (bench.py does the
-            # same)
-            return jnp.argmax(last, axis=-1).astype(jnp.int32), cache
-
         cache = engine.new_cache()
-        tok, cache = prefill_token(engine.params, jnp.asarray(prompt), cache)
+        tok, cache = engine._prefill_token(engine.params,
+                                           jnp.asarray(prompt), cache)
         np.asarray(tok)
         cache = engine.new_cache()
         t0 = time.perf_counter()
-        tok, cache = prefill_token(engine.params, jnp.asarray(prompt), cache)
+        tok, cache = engine._prefill_token(engine.params,
+                                           jnp.asarray(prompt), cache)
         np.asarray(tok)
         return {"ttft_ms": (time.perf_counter() - t0) * 1e3}
 

@@ -69,6 +69,13 @@ class Engine:
         self._decode_n = jax.jit(self._decode_n_impl,
                                  static_argnames=("n_steps",),
                                  donate_argnames=("cache",))
+        # prefill + argmax as ONE dispatch (TTFT's timed unit: a 4-byte
+        # token pull instead of a ~10 ms [1, V] logits row on tunneled
+        # backends).  The cache is a live output — returning only the
+        # token would let XLA dead-code-eliminate every KV-cache write
+        # and time a prefill no decode could follow.
+        self._prefill_token = jax.jit(self._prefill_token_impl,
+                                      donate_argnames=("cache",))
 
     def new_cache(self) -> llama.KVCache:
         if self.cache_factory is not None:
@@ -92,6 +99,10 @@ class Engine:
         with kernel_linears(self._impl):
             logits, cache2 = self._forward(params, tokens, cache)
         return logits[:, -1, :], cache2
+
+    def _prefill_token_impl(self, params, tokens, cache):
+        last, cache = self._prefill_impl(params, tokens, cache)
+        return jnp.argmax(last, axis=-1).astype(jnp.int32), cache
 
     def _decode_n_impl(self, params, first_token, cache, n_steps: int):
         """Greedy-decode ``n_steps`` tokens as an on-device scan."""
@@ -170,6 +181,10 @@ class ContinuousBatcher:
                 self._native = None
 
     def submit(self, req: Request):
+        if req.uid < 0:
+            # the native core uses uid < 0 as its free-slot sentinel; keep
+            # the contract identical on the pure-Python path
+            raise ValueError(f"request uid must be >= 0, got {req.uid}")
         if self._native is not None:
             self._native.submit(req.uid, req.max_new_tokens)
             self._by_uid[req.uid] = req

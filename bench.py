@@ -254,19 +254,15 @@ def main():
     # (monkeypatch/ftllama_modeling.py:61-68), its TTFT times
     # tokenization + generate, not allocation.  (Pulling the full [1, V]
     # logits row instead costs ~10 ms of pure transfer at 128 KB.)
-    @jax.jit
-    def prefill_token(params, toks, cache):
-        last, cache = eng._prefill_impl(params, toks, cache)
-        return jnp.argmax(last, axis=-1).astype(jnp.int32), last, cache
-
+    # Engine._prefill_token is that dispatch (shared with the speed CLI).
     cache = eng.new_cache()
     t0 = time.time()
-    first, last, cache = prefill_token(eng.params, jnp.asarray(prompt), cache)
+    first, cache = eng._prefill_token(eng.params, jnp.asarray(prompt), cache)
     sync(first)
     log(f"prefill compile+run: {time.time() - t0:.1f}s")
     c2 = eng.new_cache()
     t0 = time.time()
-    first, last, c2 = prefill_token(eng.params, jnp.asarray(prompt), c2)
+    first, c2 = eng._prefill_token(eng.params, jnp.asarray(prompt), c2)
     sync(first)
     ttft = time.time() - t0
     log(f"TTFT (prefill {PROMPT_LEN}): {ttft*1e3:.1f}ms")
