@@ -58,7 +58,7 @@ def main(argv=None):
     from ..models import quantize_model
     from ..models.stacked import SERVE_CONTAINERS, stack_proxies
     from ..serving import Engine
-    from ..serving.benchmark import benchmark_speed, device_peak_info
+    from ..serving.benchmark import PeakMemTracker, benchmark_speed
     from ..utils.checkpoint import load_quantized
 
     cfg, params = load_model(args)
@@ -107,6 +107,8 @@ def main(argv=None):
     from ..serving.benchmark import benchmark_continuous
 
     results = {}
+    mem = PeakMemTracker()
+    mem.sample()                # post-setup resident set (model + engine)
     for mode in args.modes:
         if mode == "CONTINUOUS":
             results[mode] = benchmark_continuous(
@@ -115,15 +117,17 @@ def main(argv=None):
                 gen_len=args.gen_len,
                 max_len=args.prompt_len + args.gen_len + 8,
                 use_pallas=not args.no_pallas)
+            mem.sample()
         else:
             results[mode] = benchmark_speed(eng, mode,
                                             prompt_len=args.prompt_len,
-                                            gen_len=args.gen_len)
+                                            gen_len=args.gen_len, mem=mem)
         print(f"{mode}: {results[mode]}")
-    peak, kind = device_peak_info()
+    peak, kind = mem.result()
     results["peak_mem_gib"] = peak
-    # 'live_lower_bound' = live array bytes, NOT comparable with the
-    # reference's max_memory_allocated (VERDICT r2 weakness 5)
+    # 'live_high_water' = max live device-array bytes sampled at every
+    # dispatch boundary (true allocator peaks need memory_stats, which
+    # axon does not expose — serving/benchmark.PeakMemTracker)
     results["peak_mem_kind"] = kind
     dump_json(results, f"{args.save_path}/{cfg.name}_speed.json")
 
@@ -137,7 +141,7 @@ def _owq_speed(args, cfg, params, jnp):
 
     from ..quantization import get_quantized_params
     from ..serving import Engine
-    from ..serving.benchmark import benchmark_speed, device_peak_info
+    from ..serving.benchmark import PeakMemTracker, benchmark_speed
     from .common import dump_json
 
     if args.arch_json:
@@ -161,14 +165,16 @@ def _owq_speed(args, cfg, params, jnp):
                  compute_dtype=jnp.bfloat16, use_pallas=not args.no_pallas)
 
     results = {"method": "owq", "target_bits": args.target_bits}
+    mem = PeakMemTracker()
+    mem.sample()
     for mode in args.modes:
         if mode == "CONTINUOUS":
             continue                      # stacked-model path only
         results[mode] = benchmark_speed(eng, mode,
                                         prompt_len=args.prompt_len,
-                                        gen_len=args.gen_len)
+                                        gen_len=args.gen_len, mem=mem)
         print(f"{mode}: {results[mode]}")
-    peak, kind = device_peak_info()
+    peak, kind = mem.result()
     results["peak_mem_gib"] = peak
     results["peak_mem_kind"] = kind
     dump_json(results, f"{args.save_path}/{cfg.name}_owq_speed.json")

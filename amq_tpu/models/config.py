@@ -145,6 +145,18 @@ register(ModelConfig(
     max_position_embeddings=131072,
 ))
 register(ModelConfig(
+    name="Llama-3.1-8B-Instruct", vocab_size=128256, hidden_size=4096,
+    intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
+    rope_theta=500000.0, rope_scaling_llama3=True,
+    max_position_embeddings=131072,
+))
+register(ModelConfig(
+    name="Llama-3.1-70B", vocab_size=128256, hidden_size=8192,
+    intermediate_size=28672, num_layers=80, num_heads=64, num_kv_heads=8,
+    rope_theta=500000.0, rope_scaling_llama3=True,
+    max_position_embeddings=131072,
+))
+register(ModelConfig(
     name="Mistral-7B-v0.3", vocab_size=32768, hidden_size=4096,
     intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
     rope_theta=1000000.0, max_position_embeddings=32768,

@@ -38,10 +38,70 @@ def device_peak_info() -> tuple:
     except Exception:
         pass
     try:
-        return (sum(a.nbytes for a in jax.live_arrays()) / 1024**3,
-                "live_lower_bound")
+        return _live_device_gib(), "live_lower_bound"
     except Exception:
         return float("nan"), "unavailable"
+
+
+def _live_device_gib() -> float:
+    """Live jax.Array bytes on accelerator devices (host-staged CPU
+    arrays excluded when an accelerator backend is active — the
+    reference's number is device memory only)."""
+    skip_cpu = jax.default_backend() != "cpu"
+    total = 0
+    for a in jax.live_arrays():
+        if skip_cpu:
+            try:
+                if all(d.platform == "cpu" for d in a.sharding.device_set):
+                    continue
+            except Exception:
+                pass
+        total += a.nbytes
+    return total / 1024**3
+
+
+class PeakMemTracker:
+    """Serving-loop memory high-water mark (reference contract:
+    torch.cuda.max_memory_allocated, utils/speed.py:243-244).
+
+    Backends with ``memory_stats`` report the allocator's true peak
+    (kind='peak').  On backends without it (axon), ``sample()`` is called
+    at every dispatch boundary of the benchmark loop and the maximum of
+    live device-array bytes is reported (kind='live_high_water') — an
+    underestimate only by XLA's transient scratch, unlike the single
+    end-of-run snapshot the harness previously reported
+    ('live_lower_bound')."""
+
+    def __init__(self):
+        self.peak_gib = 0.0
+        self.kind = "unavailable"
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            self._has_stats = bool(stats)
+        except Exception:
+            self._has_stats = False
+
+    def sample(self) -> None:
+        if self._has_stats:
+            try:
+                stats = jax.local_devices()[0].memory_stats()
+                self.peak_gib = max(
+                    self.peak_gib,
+                    stats.get("peak_bytes_in_use", 0) / 1024**3)
+                self.kind = "peak"
+                return
+            except Exception:
+                self._has_stats = False
+        try:
+            self.peak_gib = max(self.peak_gib, _live_device_gib())
+            self.kind = "live_high_water"
+        except Exception:
+            pass
+
+    def result(self) -> tuple:
+        if self.kind == "unavailable":
+            return device_peak_info()
+        return self.peak_gib, self.kind
 
 
 def device_peak_gib() -> float:
@@ -49,18 +109,21 @@ def device_peak_gib() -> float:
 
 
 def benchmark_speed(engine: Engine, mode: str = "TPS", prompt_len: int = 64,
-                    gen_len: int = 128, iters: int = 20, seed: int = 0
-                    ) -> Dict[str, float]:
+                    gen_len: int = 128, iters: int = 20, seed: int = 0,
+                    mem: "PeakMemTracker" = None) -> Dict[str, float]:
     cfg = engine.cfg
     rng = np.random.default_rng(seed)
     prompt = rng.integers(0, cfg.vocab_size,
                           (engine.batch_size, prompt_len)).astype(np.int32)
+    sample = mem.sample if mem is not None else (lambda: None)
 
     if mode == "TPS":
         engine.generate(prompt, max_new_tokens=gen_len)  # warmup/compile
+        sample()
         t0 = time.perf_counter()
         engine.generate(prompt, max_new_tokens=gen_len)
         dt = time.perf_counter() - t0
+        sample()
         return {"tokens_per_s": gen_len * engine.batch_size / dt,
                 "total_s": dt}
 
@@ -75,12 +138,15 @@ def benchmark_speed(engine: Engine, mode: str = "TPS", prompt_len: int = 64,
         tok, cache = engine._prefill_token(engine.params,
                                            jnp.asarray(prompt), cache)
         np.asarray(tok)
+        sample()
         cache = engine.new_cache()
         t0 = time.perf_counter()
         tok, cache = engine._prefill_token(engine.params,
                                            jnp.asarray(prompt), cache)
         np.asarray(tok)
-        return {"ttft_ms": (time.perf_counter() - t0) * 1e3}
+        ms = (time.perf_counter() - t0) * 1e3
+        sample()
+        return {"ttft_ms": ms}
 
     if mode == "GEMM":
         # sync via a tiny host pull — block_until_ready is unreliable on
@@ -89,12 +155,15 @@ def benchmark_speed(engine: Engine, mode: str = "TPS", prompt_len: int = 64,
         toks = jnp.asarray(prompt)
         out, _ = engine._prefill(engine.params, toks, cache)
         np.asarray(out[:1, :1])
+        sample()
         t0 = time.perf_counter()
         for _ in range(iters):
             cache = engine.new_cache()
             out, cache = engine._prefill(engine.params, toks, cache)
         np.asarray(out[:1, :1])
-        return {"prefill_ms": (time.perf_counter() - t0) / iters * 1e3}
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        sample()
+        return {"prefill_ms": ms}
 
     if mode == "GEMV":
         cache = engine.new_cache()
@@ -104,18 +173,15 @@ def benchmark_speed(engine: Engine, mode: str = "TPS", prompt_len: int = 64,
         toks, _ = engine._decode_n(engine.params, first, cache,
                                    n_steps=gen_len)
         np.asarray(toks[:1, -1:])
-        # the warmup donated `cache` — rebuild the same starting state
-        # for the timed pass (prefill is outside the timed region)
-        cache = engine.new_cache()
-        last, cache = engine._prefill(engine.params, jnp.asarray(prompt),
-                                      cache)
-        first = jnp.argmax(last, axis=-1).astype(jnp.int32)
-        np.asarray(first[:1])
+        sample()
+        # no donation on the single-stream engine, so the warmup left
+        # `first`/`cache` intact — the timed pass replays the same state
         t0 = time.perf_counter()
         toks, _ = engine._decode_n(engine.params, first, cache,
                                    n_steps=gen_len)
         np.asarray(toks[:1, -1:])
         per_tok = (time.perf_counter() - t0) / gen_len
+        sample()
         return {"decode_token_ms": per_tok * 1e3,
                 "tokens_per_s": 1.0 / per_tok}
 

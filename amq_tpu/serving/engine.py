@@ -61,21 +61,21 @@ class Engine:
 
     def __post_init__(self):
         self._impl = pallas_linear_impl if self.use_pallas else None
-        # cache buffers are donated: every caller threads the cache
-        # linearly (prefill -> decode -> drop), and without donation each
-        # dispatch copies the full KV buffers to preserve the input
-        self._prefill = jax.jit(self._prefill_impl,
-                                donate_argnames=("cache",))
+        # NO cache donation here: on this single-stream engine donation
+        # forces XLA layout copies ("Some donated buffers were not
+        # usable") and was measured at 143.9 vs 172.4 tok/s on-chip
+        # (round-4 bisect, commit 3257215).  Donation stays only on the
+        # slot/DP engines (serving/batched.py, serving/dp.py) whose
+        # per-call jits actually paid a 2 GB cache copy per dispatch.
+        self._prefill = jax.jit(self._prefill_impl)
         self._decode_n = jax.jit(self._decode_n_impl,
-                                 static_argnames=("n_steps",),
-                                 donate_argnames=("cache",))
+                                 static_argnames=("n_steps",))
         # prefill + argmax as ONE dispatch (TTFT's timed unit: a 4-byte
         # token pull instead of a ~10 ms [1, V] logits row on tunneled
         # backends).  The cache is a live output — returning only the
         # token would let XLA dead-code-eliminate every KV-cache write
         # and time a prefill no decode could follow.
-        self._prefill_token = jax.jit(self._prefill_token_impl,
-                                      donate_argnames=("cache",))
+        self._prefill_token = jax.jit(self._prefill_token_impl)
 
     def new_cache(self) -> llama.KVCache:
         if self.cache_factory is not None:
@@ -125,9 +125,11 @@ class Engine:
         B, S = prompt_tokens.shape
         assert B == self.batch_size
         cache = self.new_cache()
-        last_logits, cache = self._prefill(
+        # _prefill_token keeps the argmax on device: one dispatch, and the
+        # host pulls 4 bytes instead of a [B, V] logits row (~10 ms on
+        # tunneled backends) — same rationale as the TTFT path.
+        first, cache = self._prefill_token(
             self.params, jnp.asarray(prompt_tokens, jnp.int32), cache)
-        first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
         rest, _ = self._decode_n(self.params, first, cache,
                                  n_steps=max_new_tokens - 1)
         return np.concatenate([np.asarray(first)[:, None], np.asarray(rest)],

@@ -202,7 +202,18 @@ def main():
                         pass_linear_list=pass_list,
                         rng=np.random.default_rng(0))
     save_path = os.path.join(OUT, "search_7b")
+    # auto-resume from the newest iter_N.stats checkpoint (save_iter=2):
+    # a killed run re-pays only evaluator init + iterations after the
+    # last checkpoint (reference resume contract, optimizer.py:86-87)
+    resume = None
+    if os.path.isdir(save_path):
+        done = sorted((int(f[5:-6]), f) for f in os.listdir(save_path)
+                      if f.startswith("iter_") and f.endswith(".stats"))
+        if done:
+            resume = os.path.join(save_path, done[-1][1])
+            print(f"search resume from {resume}", flush=True)
     search = Search(
+        resume_path=resume,
         ev, space, dataset="search",
         iterations=int(os.environ.get("SEARCH_ITERS", "20")),
         n_doe=int(os.environ.get("SEARCH_DOE", "64")),

@@ -62,3 +62,14 @@ def test_reference_model_numel_parity():
     assert get_config("Llama-2-7b-hf").topology()["model_numel"] == 6476005376
     assert get_config("Llama-2-13b-hf").topology()["model_numel"] == 12687769600
     assert get_config("Llama-2-70b-hf").topology()["model_numel"] == 68451041280
+    # Llama-3.1 rows (amq/configs/llama.json keys "Llama-3.1-70B",
+    # "Llama-3.1-8B-Instruct"): shapes + numel recorded from that JSON
+    t70 = get_config("Llama-3.1-70B").topology()
+    assert t70["model_numel"] == 68451041280
+    assert t70["n_block"] == 80
+    assert t70["linear_shape"]["self_attn.k_proj"] == [1024, 8192]
+    assert t70["linear_shape"]["mlp.gate_proj"] == [28672, 8192]
+    t8i = get_config("Llama-3.1-8B-Instruct").topology()
+    assert t8i["model_numel"] == 6979321856
+    assert t8i["linear_shape"]["self_attn.k_proj"] == [1024, 4096]
+    assert t8i == get_config("Llama-3.1-8B").topology()
