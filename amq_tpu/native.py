@@ -63,11 +63,20 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.amq_sched_destroy.argtypes = [ctypes.c_void_p]
     lib.amq_sched_submit.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_int32]
+    lib.amq_sched_submit2.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_int32, ctypes.c_int32,
+                                      ctypes.c_int32]
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.amq_sched_fill.argtypes = [ctypes.c_void_p, i32p, i64p,
                                    ctypes.c_int32]
     lib.amq_sched_fill.restype = ctypes.c_int32
+    lib.amq_sched_fill2.argtypes = [ctypes.c_void_p, ctypes.c_int32, i32p,
+                                    i64p, ctypes.c_int32]
+    lib.amq_sched_fill2.restype = ctypes.c_int32
+    lib.amq_sched_preempt.argtypes = [ctypes.c_void_p, i32p, i64p, i32p,
+                                      ctypes.c_int32]
+    lib.amq_sched_preempt.restype = ctypes.c_int32
     lib.amq_sched_step.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int32]
     lib.amq_sched_step.restype = ctypes.c_int32
     lib.amq_sched_active.argtypes = [ctypes.c_void_p]
@@ -129,14 +138,33 @@ class NativeScheduler:
             self._lib.amq_sched_destroy(self._h)
             self._h = None
 
-    def submit(self, uid: int, max_new_tokens: int):
-        self._lib.amq_sched_submit(self._h, uid, max_new_tokens)
+    def submit(self, uid: int, max_new_tokens: int, priority: int = 0,
+               prompt_len: int = 0):
+        self._lib.amq_sched_submit2(self._h, uid, max_new_tokens,
+                                    priority, prompt_len)
 
-    def fill(self):
+    def fill(self, prefill_budget: int = 0):
+        """Admit queued requests into free slots, highest priority first,
+        keeping this call's admitted prompt tokens within
+        ``prefill_budget`` (0 = uncapped; one admission always allowed)."""
         slots = np.empty(self.n_slots, np.int32)
         uids = np.empty(self.n_slots, np.int64)
-        n = self._lib.amq_sched_fill(self._h, slots, uids, self.n_slots)
+        n = self._lib.amq_sched_fill2(self._h, prefill_budget, slots, uids,
+                                      self.n_slots)
         return list(zip(slots[:n].tolist(), uids[:n].tolist()))
+
+    def preempt(self):
+        """Evict active slots outprioritized by pending requests; returns
+        [(slot, uid, generated_so_far)].  Victims re-enter the queue with
+        their token count preserved (the engine re-prefills
+        prompt + generated on re-admission)."""
+        slots = np.empty(self.n_slots, np.int32)
+        uids = np.empty(self.n_slots, np.int64)
+        gen = np.empty(self.n_slots, np.int32)
+        n = self._lib.amq_sched_preempt(self._h, slots, uids, gen,
+                                        self.n_slots)
+        return list(zip(slots[:n].tolist(), uids[:n].tolist(),
+                        gen[:n].tolist()))
 
     def step(self):
         retired = np.empty(self.n_slots, np.int32)

@@ -315,8 +315,19 @@ class SlotEngine:
         results: Dict[int, List[int]] = {}
         steps = 0
         while batcher.has_work() and steps < max_steps:
+            # higher-priority pending requests may evict active slots; the
+            # victims rejoin the queue and are re-prefilled on re-admission
+            preempt = getattr(batcher, "preempt", None)
+            if preempt is not None:
+                preempt()
             for slot, req in batcher.fill_slots():
-                self.prefill(slot, req.prompt)
+                # resumed victims re-prefill prompt + tokens generated
+                # before eviction (their KV state was released with the
+                # slot)
+                toks = (np.concatenate(
+                    [req.prompt, np.asarray(req.generated, np.int32)])
+                    if req.generated else req.prompt)
+                self.prefill(slot, toks)
                 # the prefill's prediction is the first generated token
                 fin = batcher.prefill_bookkeeping(slot, self.next_token[slot])
                 if fin is not None:

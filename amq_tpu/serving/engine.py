@@ -146,6 +146,8 @@ class Request:
     max_new_tokens: int
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    priority: int = 0           # higher = served first (0 = default class)
+    _seq: int = -1              # submission order (set by the batcher)
 
 
 class ContinuousBatcher:
@@ -156,21 +158,38 @@ class ContinuousBatcher:
     queue.  The jitted step function has a fixed batch shape, so
     arrivals/departures never retrace.
 
-    Slot lifecycle (admission, FCFS fill, retirement counting) runs on
-    the native C++ scheduler (native/amq_native.cpp `Scheduler`) when the
-    library is available — the TPU-native counterpart of the runtime the
-    reference keeps in CUDA host code; token storage stays in Python
-    (tokens are the caller's data either way).  ``use_native=False`` or
+    Scheduling policy (native/amq_native.cpp `Scheduler` v2, mirrored by
+    the pure-Python path):
+
+    * priority classes — the queue is served (priority desc, FCFS within
+      a class),
+    * chunked-prefill admission — each ``fill_slots`` call admits
+      requests only while their summed prompt tokens stay within
+      ``prefill_budget`` (0 = uncapped; one admission always allowed), so
+      a burst of long prompts cannot stall active decodes for more than
+      one budget's worth of prefill between chunks,
+    * preemption — ``preempt()`` evicts lower-priority active slots when
+      a strictly-higher-priority request is pending; victims re-enter
+      the queue with their generated tokens preserved and are
+      re-prefilled (prompt + generated) on re-admission.
+
+    Slot lifecycle runs on the native C++ scheduler when the library is
+    available — the TPU-native counterpart of the runtime the reference
+    keeps in CUDA host code; token storage stays in Python (tokens are
+    the caller's data either way).  ``use_native=False`` or
     AMQ_NATIVE_SCHED=0 forces the pure-Python path.
     """
 
     def __init__(self, n_slots: int, max_len: int,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 prefill_budget: int = 0):
         self.n_slots = n_slots
         self.max_len = max_len
+        self.prefill_budget = prefill_budget
         self.queue: List[Request] = []
         self.slots: List[Optional[Request]] = [None] * n_slots
         self._by_uid: Dict[int, Request] = {}
+        self._next_seq = 0
         self._native = None
         if use_native is None:
             import os
@@ -182,16 +201,30 @@ class ContinuousBatcher:
             except Exception:
                 self._native = None
 
+    def _enqueue_ordered(self, req: Request):
+        # insert before the first request served after req
+        i = 0
+        while i < len(self.queue) and (
+                self.queue[i].priority > req.priority
+                or (self.queue[i].priority == req.priority
+                    and self.queue[i]._seq < req._seq)):
+            i += 1
+        self.queue.insert(i, req)
+
     def submit(self, req: Request):
         if req.uid < 0:
             # the native core uses uid < 0 as its free-slot sentinel; keep
             # the contract identical on the pure-Python path
             raise ValueError(f"request uid must be >= 0, got {req.uid}")
+        req._seq = self._next_seq
+        self._next_seq += 1
         if self._native is not None:
-            self._native.submit(req.uid, req.max_new_tokens)
+            self._native.submit(req.uid, req.max_new_tokens,
+                                priority=req.priority,
+                                prompt_len=len(req.prompt))
             self._by_uid[req.uid] = req
         else:
-            self.queue.append(req)
+            self._enqueue_ordered(req)
 
     @property
     def active(self) -> int:
@@ -205,17 +238,55 @@ class ContinuousBatcher:
     def fill_slots(self) -> List[Tuple[int, Request]]:
         filled = []
         if self._native is not None:
-            for i, uid in self._native.fill():
+            for i, uid in self._native.fill(self.prefill_budget):
                 req = self._by_uid.pop(uid)
                 self.slots[i] = req
                 filled.append((i, req))
             return filled
+        spent = 0
         for i, slot in enumerate(self.slots):
             if slot is None and self.queue:
+                head = self.queue[0]
+                if (self.prefill_budget > 0 and filled
+                        and spent + len(head.prompt) > self.prefill_budget):
+                    break
+                spent += len(head.prompt)
                 req = self.queue.pop(0)
                 self.slots[i] = req
                 filled.append((i, req))
         return filled
+
+    def preempt(self) -> List[Tuple[int, Request]]:
+        """Evict active slots outprioritized by pending requests; the
+        victims rejoin the queue (tokens kept) for later re-admission."""
+        evicted: List[Tuple[int, Request]] = []
+        if self._native is not None:
+            for slot, uid, _gen in self._native.preempt():
+                req = self.slots[slot]
+                self.slots[slot] = None
+                self._by_uid[uid] = req
+                evicted.append((slot, req))
+            return evicted
+        qi = 0
+        while qi < len(self.queue):
+            want = self.queue[qi].priority
+            victim = -1
+            for i, r in enumerate(self.slots):
+                if r is None or r.priority >= want:
+                    continue
+                if (victim < 0
+                        or r.priority < self.slots[victim].priority
+                        or (r.priority == self.slots[victim].priority
+                            and r._seq > self.slots[victim]._seq)):
+                    victim = i
+            if victim < 0:
+                break
+            req = self.slots[victim]
+            self.slots[victim] = None
+            self._enqueue_ordered(req)
+            evicted.append((victim, req))
+            qi += 1
+        return evicted
 
     def prefill_bookkeeping(self, slot: int, token) -> Optional[Request]:
         """Record the prefill's first generated token; the request retires

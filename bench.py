@@ -49,7 +49,12 @@ BITS_RANGE = tuple(int(b) for b in
 #: (all-3 16.2 ms/token vs all-4 7.9).  BENCH_NATIVE3=1 restores the
 #: capacity-optimal native 3-bit stream.
 _NATIVE3 = os.environ.get("BENCH_NATIVE3", "0") == "1"
-CONTAINER = {b: (4 if b == 3 and not _NATIVE3 else b) for b in BITS_RANGE}
+#: BENCH_CONT2=1 additionally serves 2-bit codes in nibble containers
+#: (VERDICT r4 item 3 A/B): doubles their streamed bytes but collapses the
+#: whole model into ONE container branch (max cross-layer pipelining).
+_CONT2 = os.environ.get("BENCH_CONT2", "0") == "1"
+CONTAINER = {b: (4 if (b == 3 and not _NATIVE3) or (b == 2 and _CONT2)
+                 else b) for b in BITS_RANGE}
 GROUP = 128
 #: lm_head serving width: the bf16 head is ~0.35 ms/token of pure weight
 #: stream (scripts/profile_decode.py); 8-bit packed halves it.  "0" keeps

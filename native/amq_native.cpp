@@ -124,49 +124,129 @@ int amq_unpack(const uint32_t* words, uint32_t* out, int64_t K, int64_t N,
 
 // ---------------------------------------------------------------------------
 // continuous-batching scheduler
+//
+// v2 semantics (superset of the original FCFS core):
+//  * priorities — the queue is kept ordered by (priority desc, admission
+//    seq asc); within a priority class service stays FCFS,
+//  * chunked-prefill admission — `fill2` admits requests only while the
+//    prompt tokens admitted in THIS call stay within a budget (at least
+//    one request is always admitted when a slot is free), bounding the
+//    prefill work injected between decode chunks (decode-latency jitter),
+//  * preemption — `preempt` evicts the lowest-priority active slots back
+//    to the queue (generated-count preserved; the engine re-prefills
+//    prompt + generated on re-admission, KV state is rebuilt) whenever a
+//    strictly-higher-priority request is pending.
 
 struct Request {
   int64_t uid;
   int32_t max_new_tokens;
   int32_t generated;
+  int32_t priority;     // higher = served first (default 0)
+  int32_t prompt_len;   // admission-budget accounting (0 = free)
+  int64_t seq;          // submission order, FCFS tiebreak
 };
 
 struct Scheduler {
   std::mutex mu;
-  std::deque<Request> queue;
+  std::deque<Request> queue;     // ordered: priority desc, seq asc
   std::vector<Request> slots;    // slot i; uid < 0 => free
   int64_t completed = 0;
+  int64_t next_seq = 0;
 };
 
 void* amq_sched_create(int32_t n_slots) {
   auto* s = new Scheduler();
-  s->slots.assign(n_slots, Request{-1, 0, 0});
+  s->slots.assign(n_slots, Request{-1, 0, 0, 0, 0, 0});
   return s;
 }
 
 void amq_sched_destroy(void* h) { delete static_cast<Scheduler*>(h); }
 
-void amq_sched_submit(void* h, int64_t uid, int32_t max_new_tokens) {
-  auto* s = static_cast<Scheduler*>(h);
-  std::lock_guard<std::mutex> lk(s->mu);
-  s->queue.push_back(Request{uid, max_new_tokens, 0});
+static void enqueue_ordered(Scheduler* s, Request r) {
+  // insert before the first request that should be served after r
+  auto it = s->queue.begin();
+  while (it != s->queue.end() &&
+         (it->priority > r.priority ||
+          (it->priority == r.priority && it->seq < r.seq)))
+    ++it;
+  s->queue.insert(it, r);
 }
 
-// fills free slots from the queue; writes the newly filled slot indices to
-// out_slots / their uids to out_uids; returns the count
-int32_t amq_sched_fill(void* h, int32_t* out_slots, int64_t* out_uids,
-                       int32_t cap) {
+void amq_sched_submit2(void* h, int64_t uid, int32_t max_new_tokens,
+                       int32_t priority, int32_t prompt_len) {
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> lk(s->mu);
+  enqueue_ordered(s, Request{uid, max_new_tokens, 0, priority, prompt_len,
+                             s->next_seq++});
+}
+
+void amq_sched_submit(void* h, int64_t uid, int32_t max_new_tokens) {
+  amq_sched_submit2(h, uid, max_new_tokens, 0, 0);
+}
+
+// fills free slots from the priority queue while the admitted prompt
+// tokens stay within `prefill_budget` (<= 0: uncapped; the first
+// admission is always allowed).  Writes filled slot indices/uids;
+// returns the count.
+int32_t amq_sched_fill2(void* h, int32_t prefill_budget, int32_t* out_slots,
+                        int64_t* out_uids, int32_t cap) {
   auto* s = static_cast<Scheduler*>(h);
   std::lock_guard<std::mutex> lk(s->mu);
   int32_t n = 0;
+  int64_t spent = 0;
   for (size_t i = 0; i < s->slots.size() && n < cap; ++i) {
     if (s->slots[i].uid < 0 && !s->queue.empty()) {
-      s->slots[i] = s->queue.front();
+      const Request& head = s->queue.front();
+      if (prefill_budget > 0 && n > 0 &&
+          spent + head.prompt_len > prefill_budget)
+        break;  // next outer iteration (post-decode-chunk) admits it
+      spent += head.prompt_len;
+      s->slots[i] = head;
       s->queue.pop_front();
       out_slots[n] = static_cast<int32_t>(i);
       out_uids[n] = s->slots[i].uid;
       ++n;
     }
+  }
+  return n;
+}
+
+int32_t amq_sched_fill(void* h, int32_t* out_slots, int64_t* out_uids,
+                       int32_t cap) {
+  return amq_sched_fill2(h, 0, out_slots, out_uids, cap);
+}
+
+// evicts active slots whose priority is strictly below the best pending
+// request's (lowest priority first, most-recent admission first within a
+// priority).  Victims re-enter the queue with generated-count preserved.
+// Writes (slot, uid, generated) per victim; returns the count.
+int32_t amq_sched_preempt(void* h, int32_t* out_slots, int64_t* out_uids,
+                          int32_t* out_generated, int32_t cap) {
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> lk(s->mu);
+  int32_t n = 0;
+  // one victim per pending higher-priority request, best-pending first
+  size_t qi = 0;
+  while (n < cap && qi < s->queue.size()) {
+    const int32_t want = s->queue[qi].priority;
+    int victim = -1;
+    for (size_t i = 0; i < s->slots.size(); ++i) {
+      const Request& r = s->slots[i];
+      if (r.uid < 0 || r.priority >= want) continue;
+      if (victim < 0 || r.priority < s->slots[victim].priority ||
+          (r.priority == s->slots[victim].priority &&
+           r.seq > s->slots[victim].seq))
+        victim = static_cast<int>(i);
+    }
+    if (victim < 0) break;  // nothing below this (or any later) priority
+    Request r = s->slots[victim];
+    s->slots[victim].uid = -1;
+    out_slots[n] = victim;
+    out_uids[n] = r.uid;
+    out_generated[n] = r.generated;
+    ++n;
+    enqueue_ordered(s, r);  // keeps seq: FCFS position within its class
+    ++qi;
   }
   return n;
 }

@@ -213,8 +213,7 @@ def main():
             resume = os.path.join(save_path, done[-1][1])
             print(f"search resume from {resume}", flush=True)
     search = Search(
-        resume_path=resume,
-        ev, space, dataset="search",
+        ev, space, dataset="search", resume_path=resume,
         iterations=int(os.environ.get("SEARCH_ITERS", "20")),
         n_doe=int(os.environ.get("SEARCH_DOE", "64")),
         n_iter=int(os.environ.get("SEARCH_N_ITER", "25")),

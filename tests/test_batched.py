@@ -96,3 +96,48 @@ def test_chunked_slot_batching_matches_single(setup):
     assert set(results) == set(want)
     for uid in want:
         assert results[uid] == want[uid], (uid, results[uid], want[uid])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("use_native", [False, True])
+def test_preempted_request_resumes_token_exact(setup, use_native):
+    """A high-priority arrival evicts a running request; after re-prefill
+    (prompt + generated-so-far) the victim's final tokens must equal its
+    uninterrupted greedy generation."""
+    cfg, model = setup
+    rng = np.random.default_rng(3)
+    prompts = {0: rng.integers(0, cfg.vocab_size, 5).astype(np.int32),
+               1: rng.integers(0, cfg.vocab_size, 6).astype(np.int32),
+               2: rng.integers(0, cfg.vocab_size, 4).astype(np.int32)}
+    n_new = {0: 10, 1: 10, 2: 3}
+
+    want = {u: _reference_greedy(cfg, model, prompts[u], n_new[u]).tolist()
+            for u in prompts}
+
+    eng = SlotEngine(model, cfg, n_slots=2, max_len=64,
+                     compute_dtype=jnp.float32, use_pallas=False,
+                     prefill_buckets=(8, 16, 32))
+    batcher = ContinuousBatcher(n_slots=2, max_len=64,
+                                use_native=use_native)
+    if use_native and batcher._native is None:
+        pytest.skip("native library unavailable")
+    for u in (0, 1):
+        batcher.submit(Request(uid=u, prompt=prompts[u],
+                               max_new_tokens=n_new[u]))
+    # drive a couple of steps so 0/1 make progress, then submit the
+    # preemptor mid-flight via a wrapped has_work hook
+    state = {"steps": 0}
+    orig_has_work = batcher.has_work
+
+    def has_work():
+        state["steps"] += 1
+        if state["steps"] == 3:
+            batcher.submit(Request(uid=2, prompt=prompts[2],
+                                   max_new_tokens=n_new[2], priority=5))
+        return orig_has_work()
+
+    batcher.has_work = has_work
+    results = eng.run(batcher)
+    assert set(results) == {0, 1, 2}
+    for u in results:
+        assert results[u] == want[u], (u, results[u], want[u])
