@@ -79,6 +79,10 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.amq_sched_preempt.restype = ctypes.c_int32
     lib.amq_sched_step.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int32]
     lib.amq_sched_step.restype = ctypes.c_int32
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.amq_sched_step2.argtypes = [ctypes.c_void_p, u8p, i32p,
+                                    ctypes.c_int32]
+    lib.amq_sched_step2.restype = ctypes.c_int32
     lib.amq_sched_active.argtypes = [ctypes.c_void_p]
     lib.amq_sched_active.restype = ctypes.c_int32
     lib.amq_sched_pending.argtypes = [ctypes.c_void_p]
@@ -166,9 +170,16 @@ class NativeScheduler:
         return list(zip(slots[:n].tolist(), uids[:n].tolist(),
                         gen[:n].tolist()))
 
-    def step(self):
+    def step(self, mask=None):
+        """Record one decoded token per active slot (restricted to
+        ``mask`` when given — slots mid-chunked-prefill are occupied but
+        not decoding); returns retired slot indices."""
         retired = np.empty(self.n_slots, np.int32)
-        n = self._lib.amq_sched_step(self._h, retired, self.n_slots)
+        if mask is None:
+            n = self._lib.amq_sched_step(self._h, retired, self.n_slots)
+        else:
+            m = np.ascontiguousarray(np.asarray(mask, np.uint8))
+            n = self._lib.amq_sched_step2(self._h, m, retired, self.n_slots)
         return retired[:n].tolist()
 
     def prefill(self, slot: int) -> bool:

@@ -91,6 +91,49 @@ def prefill_slot(model, cfg: ModelConfig, tokens: jnp.ndarray,  # [1, S] padded
     return nxt, SlotCache(k=k, v=v, lengths=lengths)
 
 
+@partial(jax.jit, static_argnames=("cfg", "win_len", "compute_dtype", "impl"),
+         donate_argnames=("cache",))
+def prefill_chunk(model, cfg: ModelConfig,
+                  tokens: jnp.ndarray,     # [1, C] right-padded chunk
+                  true_new: jnp.ndarray,   # scalar int32: valid tokens, >= 1
+                  offset: jnp.ndarray,     # scalar int32: slot length so far
+                  cache: SlotCache, slot: jnp.ndarray,
+                  win_len: int, compute_dtype=jnp.bfloat16, impl=None):
+    """Advance one slot's prefill by a chunk of C prompt tokens.
+
+    Chunked prefill (Sarathi/vLLM-style): long prompts are prefilled in
+    fixed-size chunks so the serving loop can decode active slots between
+    chunks — a 2048-token arrival stalls decode by one chunk, not one
+    full prefill.  The scheduler's admission budget
+    (native/amq_native.cpp fill2) bounds how much prefill is admitted per
+    iteration; this bounds the dispatch granularity of executing it.
+
+    The chunk attends the slot's own cache prefix: a ``win_len``-sized
+    window of the slot (static size, ≥ offset + C) is sliced out, run as
+    an append-only KVCache at ``length=offset``, and pasted back.  Pad
+    tokens beyond ``true_new`` write garbage KV past the new length —
+    masked out by ``lengths`` and overwritten by the next chunk (exact
+    under causal masking, as in :func:`prefill_slot`).
+
+    Returns (next_token [1] — meaningful only on the final chunk, cache).
+    """
+    L, _, kv, T, hd = cache.k.shape
+    assert win_len <= T
+    k_win = jax.lax.dynamic_slice(
+        cache.k, (0, slot, 0, 0, 0), (L, 1, kv, win_len, hd))
+    v_win = jax.lax.dynamic_slice(
+        cache.v, (0, slot, 0, 0, 0), (L, 1, kv, win_len, hd))
+    tmp = llama.KVCache(k=k_win, v=v_win, length=offset)
+    with kernel_linears(impl):
+        logits, tmp = _model_forward(model, cfg, tokens, tmp, compute_dtype)
+    k = jax.lax.dynamic_update_slice(cache.k, tmp.k, (0, slot, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(cache.v, tmp.v, (0, slot, 0, 0, 0))
+    lengths = cache.lengths.at[slot].set(offset + true_new)
+    last = jax.lax.dynamic_index_in_dim(logits[0], true_new - 1, 0, False)
+    nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)[None]
+    return nxt, SlotCache(k=k, v=v, lengths=lengths)
+
+
 def _decode_once(model: StackedModel, cfg: ModelConfig,
                  tokens: jnp.ndarray,        # [B] int32 (one per slot)
                  active: jnp.ndarray,        # [B] bool
@@ -261,7 +304,8 @@ class SlotEngine:
                  n_slots: int = 4, max_len: int = 2048,
                  compute_dtype=jnp.bfloat16, use_pallas: bool = True,
                  prefill_buckets=(32, 64, 128, 256, 512, 1024, 2048),
-                 chunk_steps: int = 1):
+                 chunk_steps: int = 1,
+                 prefill_chunk_len: Optional[int] = None):
         from .engine import pallas_linear_impl
         self.model = model
         self.cfg = cfg
@@ -271,9 +315,17 @@ class SlotEngine:
         self.impl = pallas_linear_impl if use_pallas else None
         self.buckets = tuple(sorted(prefill_buckets))
         self.chunk_steps = chunk_steps
+        #: chunked prefill: prompts longer than this are prefilled
+        #: ``prefill_chunk_len`` tokens at a time, one chunk per serving
+        #: iteration, so active slots keep decoding between chunks
+        #: (None = whole-prompt prefill in one dispatch)
+        self.prefill_chunk_len = prefill_chunk_len
         self.cache = SlotCache.create(cfg, n_slots, max_len,
                                       dtype=compute_dtype)
         self.next_token = np.zeros(n_slots, np.int32)
+        # slot -> (prompt np.ndarray, done_len) for in-flight chunked
+        # prefills; such slots are excluded from decode until complete
+        self._prefilling: Dict[int, tuple] = {}
 
     def _bucket(self, S: int) -> int:
         for b in self.buckets:
@@ -291,6 +343,50 @@ class SlotEngine:
             jnp.int32(S), self.cache, jnp.int32(slot), slot_len=bucket,
             compute_dtype=self.compute_dtype, impl=self.impl)
         self.next_token[slot] = int(nxt[0])
+
+    def start_prefill(self, slot: int, prompt: np.ndarray) -> bool:
+        """Begin a slot's prefill.  Returns True when it completed now
+        (unchunked path or short prompt); False when the prompt exceeds
+        ``prefill_chunk_len`` and will advance chunk-by-chunk via
+        :meth:`advance_prefills` while other slots keep decoding."""
+        C = self.prefill_chunk_len
+        if C is None or len(prompt) <= C:
+            self.prefill(slot, prompt)
+            return True
+        # reset the slot length; chunks append from offset 0
+        self.cache = dataclasses.replace(
+            self.cache, lengths=self.cache.lengths.at[slot].set(0))
+        self._prefilling[slot] = (np.asarray(prompt, np.int32), 0)
+        return False
+
+    def advance_prefills(self) -> List[int]:
+        """Advance every in-flight chunked prefill by ONE chunk; returns
+        the slots whose prefill completed this call (their first
+        generated token is in ``next_token``)."""
+        C = self.prefill_chunk_len
+        done = []
+        for slot in list(self._prefilling):
+            prompt, off = self._prefilling[slot]
+            S = len(prompt)
+            n_new = min(C, S - off)
+            chunk = np.zeros(C, np.int32)
+            chunk[:n_new] = prompt[off:off + n_new]
+            # static window size from the prefill buckets (one compile per
+            # (bucket, C) pair)
+            win = min(self._bucket(off + n_new), self.cache.k.shape[3])
+            nxt, self.cache = prefill_chunk(
+                self.model, self.cfg, jnp.asarray(chunk)[None],
+                jnp.int32(n_new), jnp.int32(off), self.cache,
+                jnp.int32(slot), win_len=win,
+                compute_dtype=self.compute_dtype, impl=self.impl)
+            off += n_new
+            if off >= S:
+                self.next_token[slot] = int(nxt[0])
+                del self._prefilling[slot]
+                done.append(slot)
+            else:
+                self._prefilling[slot] = (prompt, off)
+        return done
 
     def step(self, active_mask: np.ndarray) -> np.ndarray:
         nxt, self.cache = decode_step(
@@ -327,15 +423,25 @@ class SlotEngine:
                 toks = (np.concatenate(
                     [req.prompt, np.asarray(req.generated, np.int32)])
                     if req.generated else req.prompt)
-                self.prefill(slot, toks)
-                # the prefill's prediction is the first generated token
-                fin = batcher.prefill_bookkeeping(slot, self.next_token[slot])
+                if self.start_prefill(slot, toks):
+                    # the prefill's prediction is the first generated token
+                    fin = batcher.prefill_bookkeeping(
+                        slot, self.next_token[slot])
+                    if fin is not None:
+                        results[fin.uid] = fin.generated
+            # in-flight chunked prefills advance ONE chunk per iteration;
+            # slots still prefilling sit out this iteration's decode
+            for slot in self.advance_prefills():
+                fin = batcher.prefill_bookkeeping(slot,
+                                                  self.next_token[slot])
                 if fin is not None:
                     results[fin.uid] = fin.generated
-            active = np.array([s is not None for s in batcher.slots])
+            active = np.array([
+                s is not None and i not in self._prefilling
+                for i, s in enumerate(batcher.slots)])
             if not active.any():
-                # every active slot retired at prefill (e.g. max_new=1);
-                # queued requests may remain — refill, don't exit
+                # every decodable slot retired at prefill (or is still
+                # prefilling); queued requests may remain — keep looping
                 steps += 1
                 continue
             if self.chunk_steps > 1:

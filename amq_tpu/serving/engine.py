@@ -304,20 +304,25 @@ class ContinuousBatcher:
         return None
 
     def step_bookkeeping(self, tokens: np.ndarray) -> List[Request]:
-        """Record one decoded token per slot; retire finished requests."""
+        """Record one decoded token per slot; retire finished requests.
+
+        ``tokens[i] < 0`` marks a slot that did not decode this step
+        (idle, or occupied but mid-chunked-prefill) — skipped entirely.
+        """
         finished = []
+        decoded = np.asarray(tokens) >= 0
         if self._native is not None:
             for i, req in enumerate(self.slots):
-                if req is not None:
+                if req is not None and decoded[i]:
                     req.generated.append(int(tokens[i]))
-            for i in self._native.step():
+            for i in self._native.step(mask=decoded):
                 req = self.slots[i]
                 req.done = True
                 self.slots[i] = None
                 finished.append(req)
             return finished
         for i, req in enumerate(self.slots):
-            if req is None:
+            if req is None or not decoded[i]:
                 continue
             req.generated.append(int(tokens[i]))
             if len(req.generated) >= req.max_new_tokens:

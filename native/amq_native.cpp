@@ -252,14 +252,17 @@ int32_t amq_sched_preempt(void* h, int32_t* out_slots, int64_t* out_uids,
 }
 
 // records one decoded token per active slot; writes retired slot indices,
-// returns the number retired
-int32_t amq_sched_step(void* h, int32_t* retired, int32_t cap) {
+// returns the number retired.  `mask` (optional, length n_slots) restricts
+// the step to mask[i] != 0 slots — slots mid-chunked-prefill are occupied
+// but not decoding, so they must not accrue tokens.
+int32_t amq_sched_step2(void* h, const uint8_t* mask, int32_t* retired,
+                        int32_t cap) {
   auto* s = static_cast<Scheduler*>(h);
   std::lock_guard<std::mutex> lk(s->mu);
   int32_t n = 0;
   for (size_t i = 0; i < s->slots.size(); ++i) {
     Request& r = s->slots[i];
-    if (r.uid < 0) continue;
+    if (r.uid < 0 || (mask && !mask[i])) continue;
     if (++r.generated >= r.max_new_tokens) {
       if (n < cap) retired[n++] = static_cast<int32_t>(i);
       r.uid = -1;
@@ -267,6 +270,10 @@ int32_t amq_sched_step(void* h, int32_t* retired, int32_t cap) {
     }
   }
   return n;
+}
+
+int32_t amq_sched_step(void* h, int32_t* retired, int32_t cap) {
+  return amq_sched_step2(h, nullptr, retired, cap);
 }
 
 int32_t amq_sched_active(void* h) {

@@ -141,3 +141,39 @@ def test_preempted_request_resumes_token_exact(setup, use_native):
     assert set(results) == {0, 1, 2}
     for u in results:
         assert results[u] == want[u], (u, results[u], want[u])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("use_native", [False, True])
+def test_chunked_prefill_token_exact(setup, use_native):
+    """Chunked prefill (prefill_chunk_len) must produce exactly the
+    tokens of whole-prompt prefill, while other slots decode between
+    chunks."""
+    cfg, model = setup
+    rng = np.random.default_rng(7)
+    prompts = {0: rng.integers(0, cfg.vocab_size, 5).astype(np.int32),
+               1: rng.integers(0, cfg.vocab_size, 21).astype(np.int32),
+               2: rng.integers(0, cfg.vocab_size, 13).astype(np.int32)}
+    n_new = {0: 12, 1: 5, 2: 6}
+
+    want = {u: _reference_greedy(cfg, model, prompts[u], n_new[u]).tolist()
+            for u in prompts}
+
+    eng = SlotEngine(model, cfg, n_slots=2, max_len=64,
+                     compute_dtype=jnp.float32, use_pallas=False,
+                     prefill_buckets=(8, 16, 24, 32),
+                     prefill_chunk_len=8)
+    batcher = ContinuousBatcher(n_slots=2, max_len=64,
+                                use_native=use_native)
+    if use_native and batcher._native is None:
+        pytest.skip("native library unavailable")
+    # 0 starts decoding; 1 (21 tokens = 3 chunks) prefills across
+    # iterations while 0 decodes; 2 queues behind
+    for u in (0, 1, 2):
+        batcher.submit(Request(uid=u, prompt=prompts[u],
+                               max_new_tokens=n_new[u]))
+    results = eng.run(batcher)
+    assert set(results) == {0, 1, 2}
+    for u in results:
+        assert results[u] == want[u], (u, results[u], want[u])
+    assert not eng._prefilling
