@@ -89,9 +89,15 @@ class Search:
     def _evaluate(self, architectures: Sequence[Arch]) -> Tuple[List[float], List[float]]:
         metric_list, bits_list = [], []
         # proxy evaluators batch k archs per dispatch (eval_many);
-        # final-mode / foreign evaluators fall back to one-at-a-time
-        if len(architectures) > 1 and getattr(self.evaluator, "search",
-                                              False):
+        # final-mode / foreign evaluators fall back to one-at-a-time.
+        # AMQ_SEARCH_EVAL_MANY=0 forces the per-arch path: the tile-8
+        # lax.map program (map over a 32-layer switch scan) can stall the
+        # remote compiler at 7B scale, while the per-arch _loss_step is
+        # the proven sensitivity-stage shape.
+        import os as _os
+        if (len(architectures) > 1
+                and getattr(self.evaluator, "search", False)
+                and _os.environ.get("AMQ_SEARCH_EVAL_MANY", "1") == "1"):
             many = getattr(self.evaluator, "eval_many", None)
             if many is not None:
                 for metric, usage in many(list(architectures)):
