@@ -54,6 +54,7 @@ if os.environ.get("PIPE_PLATFORM"):
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from amq_tpu.models import get_config, init_params  # noqa: E402
+from amq_tpu.models.config import LINEAR_NAMES  # noqa: E402
 from amq_tpu.evaluation import Evaluator  # noqa: E402
 from amq_tpu.evaluation.data import synthetic_tokens  # noqa: E402
 from amq_tpu.evaluation.sensitivity import linear_sensitivity  # noqa: E402
@@ -70,6 +71,26 @@ OUT = os.environ.get("OUT", "benchmarks")
 def pytree_gib(tree) -> float:
     return sum(x.nbytes for x in jax.tree.leaves(tree)
                if hasattr(x, "nbytes")) / 2**30
+
+
+def device_census(tag: str):
+    """Live device-array census by size (axon exposes no memory_stats —
+    this is the resident set the transients must fit next to)."""
+    by_shape = {}
+    total = 0
+    for a in jax.live_arrays():
+        try:
+            if all(d.platform == "cpu" for d in a.sharding.device_set):
+                continue
+        except Exception:
+            pass
+        total += a.nbytes
+        key = (str(a.dtype), tuple(a.shape))
+        by_shape[key] = by_shape.get(key, 0) + a.nbytes
+    top = sorted(by_shape.items(), key=lambda kv: -kv[1])[:8]
+    print(f"[dev] {tag}: {total/2**30:.2f} GiB live; top: "
+          + "; ".join(f"{d}{list(s)}={b/2**30:.2f}G" for (d, s), b in top),
+          flush=True)
 
 
 def main():
@@ -196,6 +217,15 @@ def main():
     print(f"search evaluator (3 proxies + {SEARCH_N}-sample cache): "
           f"{time.time()-t0:.0f}s; stacks "
           f"{pytree_gib(ev.switch_params):.2f} GiB", flush=True)
+    device_census("post-init")
+    # first eval outside the search loop: compile + a device-memory
+    # checkpoint before committing to the full DOE
+    t0 = time.time()
+    m0, b0 = ev.eval({"linear": {l: [4] * cfg.num_layers
+                                 for l in LINEAR_NAMES}})
+    print(f"first eval (all-4): {m0} bits={b0:.3f} in {time.time()-t0:.0f}s",
+          flush=True)
+    device_census("post-first-eval")
     pass_list = prune_by_sensitivity(table, 2.0)
     print(f"pass_linear_list ({len(pass_list)}): {pass_list}", flush=True)
     space = SearchSpace(cfg.topology(), group_size=128,
