@@ -263,8 +263,22 @@ class Evaluator:
             # of depth (an unrolled per-layer forward exceeds the remote
             # compiler's program-size limit at 7B scale) and selector-only
             # arch swaps (no retrace across ~10k search evaluations)
+            # eval-stack layout knobs (7B one-chip memory plan):
+            # * AMQ_EVAL_CONTAINER3=1 stores the 3-bit stack in nibble
+            #   containers — numerically identical (same codes/scales,
+            #   core.quantize.to_container), +~0.8 GiB resident, but the
+            #   single-plane dequant avoids the 2+1-plane XLA path whose
+            #   u32 intermediates OOM the loss step next to three 7B
+            #   stacks (the 2/4-bit-only sensitivity evaluator ran at
+            #   HIGHER residency),
+            # * AMQ_EVAL_NO_LANE_PAD=1 drops the decode-GEMV lane pads
+            #   (eval always routes large-M to XLA; pads are waste).
+            cont = ({3: 4} if os.environ.get("AMQ_EVAL_CONTAINER3") == "1"
+                    else None)
             self.switch_params = stacked_mod.stack_proxies(
                 proxies, self.bits_range, fuse="never",
+                container_bits=cont,
+                lane_pad=os.environ.get("AMQ_EVAL_NO_LANE_PAD") != "1",
                 device=self._model_device())
             if defer_logit_cache:
                 # proxies-first ordering: the dense HOST pytree is kept so

@@ -188,6 +188,7 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
                   head_bits: Optional[int] = None,
                   head_meta_dtype=jnp.bfloat16,
                   device=None,
+                  lane_pad: bool = True,
                   ) -> StackedModel:
     """Fold per-bit quantized pytrees (quantize_model outputs) into a
     StackedModel.
@@ -248,7 +249,10 @@ def stack_proxies(proxies: Sequence[Dict[str, Any]],
             # but LOSE in-model (the 8 MB codes operand starves the
             # attention/cache pipeline — bisect9 vs bench).  Pad columns
             # are zero -> sliced off by the kernel wrappers.
-            n_pad = _pick_lane_pad(n_total)
+            # lane pads serve the decode GEMV n-tiles; evaluator stacks
+            # (large-M XLA route only) skip them — pads there are pure
+            # HBM waste (~0.45 GiB over three 7B stacks)
+            n_pad = _pick_lane_pad(n_total) if lane_pad else 0
             pad3 = ((0, 0), (0, 0), (0, n_pad))
             per_bit[name].append(StackedQuant(
                 packed=jnp.pad(jnp.stack([jnp.concatenate(
