@@ -148,6 +148,14 @@ class DPSlotEngine:
         self.lengths = jax.device_put(cache.lengths,
                                       NamedSharding(mesh, P("data")))
         self.next_token = np.zeros(self.n_slots, np.int32)
+        self._prefilling = {}
+
+    # chunked prefill is host-local SlotEngine machinery; the DP engine
+    # prefills whole prompts per shard — the borrowed state machine is a
+    # no-op with prefill_chunk_len None (start_prefill -> self.prefill)
+    prefill_chunk_len = None
+    start_prefill = SlotEngine.start_prefill
+    advance_prefills = SlotEngine.advance_prefills
 
     def _bucket(self, S: int) -> int:
         for b in self.buckets:
