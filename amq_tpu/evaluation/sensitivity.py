@@ -111,6 +111,83 @@ def _suffix_losses(ev: Evaluator, dataset: str, keys, probes, base,
             for b in range(n_block) for j in range(P)}
 
 
+def make_suffix_arch_eval(ev: Evaluator, dataset: str):
+    """Arch-evaluation closure through the sensitivity-stage program shape.
+
+    ``probe_loss`` at ``b=0`` IS a full-arch evaluation: embed runs in its
+    own jit, the layer scan is the cond-bounded suffix program, and the
+    head+JSD follow — numerically identical to ``Evaluator.eval``
+    (suffix==naive parity is pinned by tests).  At 7B on one chip this is
+    the only loss program PROVEN to compile and execute next to the
+    resident proxy stacks (round-4 sensitivity artifact); the one-shot
+    ``_forward_logits`` program OOMs there (RESOURCE_EXHAUSTED at first
+    execution) even at batch 2 with single-plane branches.
+
+    Returns ``eval_fn(arch) -> ({dataset: loss}, bits_usage)`` with all
+    jits built once (no per-arch retrace).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.stacked import forward_stacked_suffix
+    from . import metrics
+
+    cfg = ev.cfg
+    m = ev.switch_params
+    jsd_chunk = ev._jsd_chunk
+    loss_dtype = ev._loss_dtype
+    cd = ev.compute_dtype
+
+    @jax.jit
+    def embed_fn(mm, t):
+        return mm.embed[t].astype(cd)
+
+    @jax.jit
+    def arch_loss(mm, sel, x, dense):
+        logits = forward_stacked_suffix(
+            dataclasses.replace(mm, select=sel), cfg, x, jnp.int32(0),
+            compute_dtype=cd).astype(loss_dtype)
+        return metrics.jsd_shifted_per_sample(logits, dense,
+                                              chunk=jsd_chunk)
+
+    toks = ev.datasets[dataset]
+    dense_logits = ev.dense_logits[dataset]
+    batches = list(ev._batches(toks, batch_size=ev._loss_batch))
+    starts = np.cumsum([0] + [nv for _, nv in batches])[:-1]
+    total = toks.shape[0]
+
+    def eval_fn(arch):
+        sel = {k: v[0] for k, v in ev._select_stack([arch]).items()}
+        s = 0.0
+        for (batch, n_valid), st in zip(batches, starts):
+            tb = ev._shard_tokens(jnp.asarray(batch))
+            dense = ev._dense_batch(dense_logits, int(st), n_valid,
+                                    batch.shape[0], cache_key=dataset)
+            x = embed_fn(m, tb)
+            s += float(np.asarray(arch_loss(m, sel, x, dense))
+                       [:n_valid].sum())
+        bits = metrics.get_bits_usage(arch, ev.topology, ev.group_size)
+        return {dataset: s / total}, bits
+
+    return eval_fn
+
+
+class SuffixArchEvaluator:
+    """Adapter presenting :func:`make_suffix_arch_eval` as the
+    ``Evaluator.eval`` surface the Search loop consumes (``search=False``
+    keeps Search on the per-arch path)."""
+
+    search = False
+
+    def __init__(self, ev: Evaluator, dataset: str):
+        self._fn = make_suffix_arch_eval(ev, dataset)
+
+    def eval(self, arch):
+        return self._fn(arch)
+
+
 def linear_sensitivity(
     evaluator: Evaluator,
     dataset: str,

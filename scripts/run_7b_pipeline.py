@@ -218,11 +218,18 @@ def main():
           f"{time.time()-t0:.0f}s; stacks "
           f"{pytree_gib(ev.switch_params):.2f} GiB", flush=True)
     device_census("post-init")
+    # arch evaluation through the sensitivity-stage program shape: the
+    # one-shot _forward_logits loss program OOMs one chip at 7B next to
+    # the three resident stacks (three attempts: batch 4/2, nibble 3-bit,
+    # no lane pads), while the suffix program (embed in its own jit +
+    # cond-bounded scan) is the round-4-proven shape at this scale
+    from amq_tpu.evaluation.sensitivity import SuffixArchEvaluator
+    search_ev = SuffixArchEvaluator(ev, "search")
     # first eval outside the search loop: compile + a device-memory
     # checkpoint before committing to the full DOE
     t0 = time.time()
-    m0, b0 = ev.eval({"linear": {l: [4] * cfg.num_layers
-                                 for l in LINEAR_NAMES}})
+    m0, b0 = search_ev.eval({"linear": {l: [4] * cfg.num_layers
+                                        for l in LINEAR_NAMES}})
     print(f"first eval (all-4): {m0} bits={b0:.3f} in {time.time()-t0:.0f}s",
           flush=True)
     device_census("post-first-eval")
@@ -243,7 +250,7 @@ def main():
             resume = os.path.join(save_path, done[-1][1])
             print(f"search resume from {resume}", flush=True)
     search = Search(
-        ev, space, dataset="search", resume_path=resume,
+        search_ev, space, dataset="search", resume_path=resume,
         iterations=int(os.environ.get("SEARCH_ITERS", "20")),
         n_doe=int(os.environ.get("SEARCH_DOE", "64")),
         n_iter=int(os.environ.get("SEARCH_N_ITER", "25")),
