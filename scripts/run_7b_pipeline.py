@@ -238,7 +238,10 @@ def main():
     space = SearchSpace(cfg.topology(), group_size=128,
                         pass_linear_list=pass_list,
                         rng=np.random.default_rng(0))
-    save_path = os.path.join(OUT, "search_7b")
+    save_path = os.path.join(
+        OUT, os.environ.get("SEARCH_DIR",
+                            "search_7b" if "7b" in MODEL.lower()
+                            else f"search_{MODEL}"))
     # auto-resume from the newest iter_N.stats checkpoint (save_iter=2):
     # a killed run re-pays only evaluator init + iterations after the
     # last checkpoint (reference resume contract, optimizer.py:86-87)
