@@ -273,13 +273,26 @@ class Evaluator:
             #   HIGHER residency),
             # * AMQ_EVAL_NO_LANE_PAD=1 drops the decode-GEMV lane pads
             #   (eval always routes large-M to XLA; pads are waste).
-            cont = ({3: 4} if os.environ.get("AMQ_EVAL_CONTAINER3") == "1"
+            fold = os.environ.get("AMQ_EVAL_FOLD_NIBBLE") == "1"
+            cont = ({3: 4} if fold
+                    or os.environ.get("AMQ_EVAL_CONTAINER3") == "1"
                     else None)
             self.switch_params = stacked_mod.stack_proxies(
                 proxies, self.bits_range, fuse="never",
                 container_bits=cont,
                 lane_pad=os.environ.get("AMQ_EVAL_NO_LANE_PAD") != "1",
                 device=self._model_device())
+            # AMQ_EVAL_FOLD_NIBBLE=1: two-branch eval switch (the folded
+            # nibble stack holds 3-bit layers at [0,L) and 4-bit at
+            # [L,2L)) — the loss executable compiles two branch bodies
+            # instead of three; suffix-eval path only
+            # (make_suffix_arch_eval); requires bits_range (2, 3, 4)
+            self.folded = False
+            if fold:
+                assert tuple(self.bits_range) == (2, 3, 4), self.bits_range
+                self.switch_params = stacked_mod.fold_nibble_eval(
+                    self.switch_params)
+                self.folded = True
             if defer_logit_cache:
                 # proxies-first ordering: the dense HOST pytree is kept so
                 # cache_dataset can run chunked passes later with the

@@ -144,13 +144,23 @@ def make_suffix_arch_eval(ev: Evaluator, dataset: str):
     def embed_fn(mm, t):
         return mm.embed[t].astype(cd)
 
+    folded = getattr(ev, "folded", False)
+
     @jax.jit
-    def arch_loss(mm, sel, x, dense):
+    def arch_loss(mm, fields, x, dense):
         logits = forward_stacked_suffix(
-            dataclasses.replace(mm, select=sel), cfg, x, jnp.int32(0),
+            dataclasses.replace(mm, **fields), cfg, x, jnp.int32(0),
             compute_dtype=cd).astype(loss_dtype)
         return metrics.jsd_shifted_per_sample(logits, dense,
                                               chunk=jsd_chunk)
+
+    def arch_fields(arch):
+        if folded:
+            from ..models.stacked import arch_fold_selectors
+            sel, slots = arch_fold_selectors(m, arch)
+            return {"select": sel, "site_slots": slots}
+        return {"select": {k: v[0]
+                           for k, v in ev._select_stack([arch]).items()}}
 
     toks = ev.datasets[dataset]
     dense_logits = ev.dense_logits[dataset]
@@ -159,14 +169,14 @@ def make_suffix_arch_eval(ev: Evaluator, dataset: str):
     total = toks.shape[0]
 
     def eval_fn(arch):
-        sel = {k: v[0] for k, v in ev._select_stack([arch]).items()}
+        fields = arch_fields(arch)
         s = 0.0
         for (batch, n_valid), st in zip(batches, starts):
             tb = ev._shard_tokens(jnp.asarray(batch))
             dense = ev._dense_batch(dense_logits, int(st), n_valid,
                                     batch.shape[0], cache_key=dataset)
             x = embed_fn(m, tb)
-            s += float(np.asarray(arch_loss(m, sel, x, dense))
+            s += float(np.asarray(arch_loss(m, fields, x, dense))
                        [:n_valid].sum())
         bits = metrics.get_bits_usage(arch, ev.topology, ev.group_size)
         return {dataset: s / total}, bits

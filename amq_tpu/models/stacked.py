@@ -77,6 +77,11 @@ class StackedModel:
     #: container-merged models (merge_containers): per-layer index into
     #: the COMPACT per-container stacks; None -> stacks are [L]-indexed
     slots: Optional[jnp.ndarray] = None
+    #: nibble-folded eval models (fold_nibble_eval): per-SITE per-layer
+    #: index into the selected branch's stack (the folded nibble stack
+    #: holds 3-bit layers at [0, L) and 4-bit at [L, 2L)).  None for
+    #: every serving/decode model.
+    site_slots: Optional[Dict[str, jnp.ndarray]] = None
     #: quantized lm_head (stack_proxies(head_bits=...)): at decode the
     #: bf16 head is ~0.35 ms/token of pure weight stream on Llama-2-7B
     #: (scripts/profile_decode.py); an 8-bit packed head halves it.  When
@@ -397,12 +402,77 @@ def merge_containers(model: StackedModel) -> StackedModel:
         slots=jnp.asarray(slots), uniform_select=True)
 
 
+def fold_nibble_eval(model: StackedModel) -> StackedModel:
+    """Fold the two equal-width (nibble) per-bit stacks into ONE stack so
+    the eval switch has only TWO branch programs.
+
+    Input: an eval model from ``stack_proxies(bits_range=(2, 3, 4),
+    container_bits={3: 4})`` — per-site stacks of widths (2, 4, 4), the
+    3-bit codes already in nibble containers.  Output: per-site stacks
+    ``(2-bit [L,...], nibble [2L,...])`` with the 3-bit layers at rows
+    [0, L) and the 4-bit layers at [L, 2L), plus per-site slot vectors
+    (``site_slots``) mapping layer -> row.  Same bytes, same numerics —
+    but the 32-layer switch-scan loss program compiles TWO branch bodies
+    instead of three, which is the shape the round-4 sensitivity stage
+    proved executable at 7B on one chip (docs/MEASUREMENTS.md, "r5: the
+    7B search-stage eval OOM").
+
+    Use :func:`arch_fold_selectors` for per-arch selector/slot updates
+    (``set_arch`` raises on folded models).
+    """
+    assert model.slots is None and model.site_slots is None
+    L = model.num_layers
+    sites: Dict[str, Tuple[StackedQuant, ...]] = {}
+    select: Dict[str, jnp.ndarray] = {}
+    site_slots: Dict[str, jnp.ndarray] = {}
+    for name, stacks in model.sites.items():
+        widths = [s.nbits for s in stacks]
+        assert widths == [2, 4, 4], (
+            f"{name}: fold_nibble_eval expects container widths (2,4,4) "
+            f"— build with container_bits={{3: 4}} — got {widths}")
+        s2, s3n, s4 = stacks
+        nib = StackedQuant(
+            packed=jnp.concatenate([s3n.packed, s4.packed], axis=0),
+            scale=jnp.concatenate([s3n.scale, s4.scale], axis=0),
+            zero=jnp.concatenate([s3n.zero, s4.zero], axis=0),
+            nbits=4, group_size=s4.group_size, shape=s4.shape,
+            superblock=s4.superblock)
+        sites[name] = (s2, nib)
+        old = model.select[name]                       # [L] in {0, 1, 2}
+        select[name] = (old != 0).astype(jnp.int32)
+        ar = jnp.arange(L, dtype=jnp.int32)
+        site_slots[name] = jnp.where(old == 2, L + ar, ar)
+    return dataclasses.replace(
+        model, sites=sites, select=select, site_slots=site_slots,
+        bits_range=(2, 4), uniform_select=False)
+
+
+def arch_fold_selectors(model: StackedModel, arch: Dict,
+                        bits_range=(2, 3, 4)):
+    """(select, site_slots) dicts realizing ``arch`` on a nibble-folded
+    eval model — treedef-stable, so per-arch swaps never retrace."""
+    L = model.num_layers
+    rep = {**FUSED_GROUPS, **{n: (n,) for n in LINEAR_NAMES}}
+    select, site_slots = {}, {}
+    for name in model.sites:
+        bits = np.asarray(arch["linear"][rep[name][0]], np.int32)
+        assert bits.shape == (L,)
+        select[name] = jnp.asarray((bits != 2).astype(np.int32))
+        ar = np.arange(L, dtype=np.int32)
+        site_slots[name] = jnp.asarray(np.where(bits == 4, L + ar, ar))
+    return select, site_slots
+
+
 def set_arch(model: StackedModel, arch: Dict) -> StackedModel:
     """New selector vectors for ``arch`` — same treedef, no retrace."""
     if model.slots is not None:
         raise AssertionError(
             "container-merged model is arch-specific; rebuild via "
             "stack_proxies + merge_containers")
+    if model.site_slots is not None:
+        select, site_slots = arch_fold_selectors(model, arch)
+        return dataclasses.replace(model, select=select,
+                                   site_slots=site_slots)
     fused = "self_attn.qkv_proj" in model.sites
     if fused:
         assert _arch_fusable(arch, model.num_layers), (
@@ -473,7 +543,7 @@ def _apply_down_swiglu(model: StackedModel, i, gate, up, compute_dtype,
     per layer); falls back to elementwise-then-matmul otherwise."""
     impl = linear_mod._KERNEL_IMPL
     name = "mlp.down_proj"
-    si = _stack_index(model, i)
+    si = _site_index(model, name, i)
 
     def stack_branch(stack: StackedQuant):
         def br(operand):
@@ -579,6 +649,16 @@ def _stack_index(model: StackedModel, i):
     return jax.lax.dynamic_index_in_dim(model.slots, i, 0, False)
 
 
+def _site_index(model: StackedModel, name: str, i):
+    """Per-site stack index: nibble-folded eval models map layer ``i``
+    through their per-site slot vectors; everything else through
+    :func:`_stack_index`."""
+    if model.site_slots is not None:
+        return jax.lax.dynamic_index_in_dim(
+            model.site_slots[name], i, 0, False)
+    return _stack_index(model, i)
+
+
 def _apply_site(model: StackedModel, name: str, i, x, compute_dtype,
                 bit_idx: Optional[int] = None):
     """One linear site of layer ``i``.
@@ -587,7 +667,7 @@ def _apply_site(model: StackedModel, name: str, i, x, compute_dtype,
     bit decision, e.g. a per-layer switch); otherwise a lax.switch over
     the per-bit stacks — only the chosen branch reads HBM.
     """
-    si = _stack_index(model, i)
+    si = _site_index(model, name, i)
     if bit_idx is not None:
         y = _apply_stack(model.sites[name][bit_idx], si, x, compute_dtype)
     else:

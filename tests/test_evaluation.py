@@ -278,3 +278,43 @@ def test_device_resident_cache_matches_host(setup):
     ev_dev.free_dataset("synthetic")
     with pytest.raises(RuntimeError):
         ev_dev.eval(arch)
+
+
+def test_fold_nibble_eval_parity(monkeypatch):
+    """Two-branch nibble-folded eval (AMQ_EVAL_FOLD_NIBBLE=1) must match
+    the plain three-branch evaluator to float tolerance on mixed and
+    uniform archs — the fold is the 7B one-chip unblock path
+    (docs/MEASUREMENTS.md r5 entry)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from amq_tpu.models import get_config, init_params
+    from amq_tpu.models.config import LINEAR_NAMES
+    from amq_tpu.evaluation import Evaluator
+    from amq_tpu.evaluation.data import synthetic_tokens
+    from amq_tpu.evaluation.sensitivity import SuffixArchEvaluator
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    toks = synthetic_tokens(cfg.vocab_size, n_sample=3, seqlen=64, seed=0)
+    rng = np.random.default_rng(5)
+    archs = [{"linear": {l: rng.choice([2, 3, 4], cfg.num_layers).tolist()
+                         for l in LINEAR_NAMES}} for _ in range(2)]
+    archs.append({"linear": {l: [2] * cfg.num_layers for l in LINEAR_NAMES}})
+
+    plain = Evaluator(cfg, dense_params=params, datasets={"d": toks},
+                      batch_size=2, compute_dtype=jnp.float32)
+    want = [plain.eval(a) for a in archs]
+
+    monkeypatch.setenv("AMQ_EVAL_FOLD_NIBBLE", "1")
+    folded = Evaluator(cfg, dense_params=params, datasets={"d": toks},
+                       batch_size=2, compute_dtype=jnp.float32)
+    assert folded.folded
+    sev = SuffixArchEvaluator(folded, "d")
+    for a, (mw, bw) in zip(archs, want):
+        mg, bg = sev.eval(a)
+        assert abs(mw["d"] - mg["d"]) < 1e-6
+        assert bw == bg
+    # the plain eval path on a folded model routes through set_arch
+    m2, _ = folded.eval(archs[0])
+    assert abs(m2["d"] - want[0][0]["d"]) < 1e-6
